@@ -1,0 +1,210 @@
+"""Resizing / pooling primitives with exact reference semantics.
+
+The reference leans on three resamplers whose numerics must be matched:
+
+  * ``F.interpolate(mode='bilinear')`` in both ``align_corners`` flavours
+    (SPyNet pyramid up/down, reference ``models/vmg.py:69-117``)
+  * ``F.interpolate(mode='trilinear')`` for the x4 global residual
+    (reference ``models/vmg.py:593``) -- depth is unscaled, so it reduces to
+    per-frame bilinear with half-pixel centers
+  * the MATLAB-compatible antialiased bicubic used to synthesize LR data
+    (reference ``utils/image_resize.py``)
+
+All of them are separable, so we build per-axis dense weight matrices with
+numpy at trace time and apply them as matmuls -- which XLA maps straight
+onto the MXU instead of emitting gather soup.  Shapes are static under jit,
+so the weights are computed once per compiled shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# bilinear (torch semantics, no antialiasing)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) matrix for 1-D torch 'linear' interpolation."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    out = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = out * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (out + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, None)  # torch clamps negative source coords
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.clip(x0, 0, in_size - 1)
+    x1 = np.clip(x0 + 1, 0, in_size - 1)
+    frac = np.clip(src - x0, 0.0, 1.0)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, x0), 1.0 - frac)
+    np.add.at(w, (rows, x1), frac)
+    return w.astype(np.float32)
+
+
+def resize_bilinear(
+    x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W, C), torch ``F.interpolate`` semantics."""
+    *lead, H, W, C = x.shape
+    wh = jnp.asarray(_linear_weights(H, out_h, align_corners))
+    ww = jnp.asarray(_linear_weights(W, out_w, align_corners))
+    orig_dtype = x.dtype
+    y = x.reshape(-1, H, W * C).astype(jnp.float32)
+    y = jnp.einsum("oh,nhk->nok", wh, y, preferred_element_type=jnp.float32)
+    y = y.reshape(-1, out_h, W, C).transpose(0, 2, 1, 3).reshape(-1, W, out_h * C)
+    y = jnp.einsum("ow,nwk->nok", ww, y, preferred_element_type=jnp.float32)
+    y = y.reshape(-1, out_w, out_h, C).transpose(0, 2, 1, 3)
+    return y.reshape(*lead, out_h, out_w, C).astype(orig_dtype)
+
+
+def upsample_trilinear_frames(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """x4 (or xN) spatial upsampling of a (B, T, H, W, C) clip.
+
+    Matches ``F.interpolate(mode='trilinear', align_corners=False)`` with an
+    unscaled depth axis: the depth resample is the identity, leaving exact
+    per-frame half-pixel bilinear.
+    """
+    B, T, H, W, C = x.shape
+    return resize_bilinear(x, H * scale, W * scale, align_corners=False)
+
+
+# ---------------------------------------------------------------------------
+# pooling
+# ---------------------------------------------------------------------------
+
+
+def avg_pool2d(x: jnp.ndarray, k: int = 2, stride: int | None = None) -> jnp.ndarray:
+    """Average pool (..., H, W, C), no padding (count_include_pad irrelevant)."""
+    stride = stride or k
+    *lead, H, W, C = x.shape
+    if k == stride and H % k == 0 and W % k == 0:
+        y = x.reshape(*lead, H // k, k, W // k, k, C)
+        return y.mean(axis=(-4, -2))
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1,) * len(lead) + (k, k, 1),
+        window_strides=(1,) * len(lead) + (stride, stride, 1),
+        padding="VALID",
+    )
+    return (y / float(k * k)).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_bins(in_size: int, out_size: int) -> np.ndarray:
+    starts = (np.arange(out_size) * in_size) // out_size
+    ends = -(-(np.arange(1, out_size + 1) * in_size) // out_size)  # ceil
+    return np.stack([starts, ends], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_avg_weights(in_size: int, out_size: int) -> np.ndarray:
+    bins = _adaptive_bins(in_size, out_size)
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for o, (s, e) in enumerate(bins):
+        w[o, s:e] = 1.0 / (e - s)
+    return w
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """torch ``F.adaptive_avg_pool2d`` on (..., H, W, C) (separable, matmul)."""
+    *lead, H, W, C = x.shape
+    wh = jnp.asarray(_adaptive_avg_weights(H, out_h))
+    ww = jnp.asarray(_adaptive_avg_weights(W, out_w))
+    orig = x.dtype
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("oh,...hwc->...owc", wh, y)
+    y = jnp.einsum("ow,...hwc->...hoc", ww, y)
+    return y.astype(orig)
+
+
+def adaptive_max_pool2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """torch ``F.adaptive_max_pool2d`` on (..., H, W, C).
+
+    Fast path for divisible sizes (the only case VMG hits: mdsc shortcuts
+    pool H -> H//4, reference ``models/vmg.py:519,525``); general bins
+    otherwise.
+    """
+    *lead, H, W, C = x.shape
+    if H % out_h == 0 and W % out_w == 0:
+        kh, kw = H // out_h, W // out_w
+        y = x.reshape(*lead, out_h, kh, out_w, kw, C)
+        return y.max(axis=(-4, -2))
+    hbins = _adaptive_bins(H, out_h)
+    wbins = _adaptive_bins(W, out_w)
+    rows = jnp.stack([x[..., s:e, :, :].max(axis=-3) for s, e in hbins], axis=-3)
+    return jnp.stack([rows[..., s:e, :].max(axis=-2) for s, e in wbins], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# MATLAB-compatible antialiased bicubic (for LR synthesis + Y-metrics parity)
+# ---------------------------------------------------------------------------
+
+
+def _cubic(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    return (1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1) + (
+        -0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0
+    ) * ((ax > 1) & (ax <= 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _matlab_resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) MATLAB imresize bicubic weights.
+
+    Antialiased when downscaling; out-of-range taps are mirrored
+    (symmetric padding), matching reference ``utils/image_resize.py``.
+    """
+    scale = out_size / in_size
+    kernel_width = 4.0
+    if scale < 1.0:
+        kernel_width /= scale
+    x = np.arange(1, out_size + 1, dtype=np.float64)
+    u = x / scale + 0.5 * (1 - 1 / scale)
+    left = np.floor(u - kernel_width / 2)
+    P = int(np.ceil(kernel_width)) + 2
+    idx = left[:, None] + np.arange(P)[None, :]  # 1-based tap indices
+    dist = u[:, None] - idx
+    if scale < 1.0:
+        w = scale * _cubic(dist * scale)
+    else:
+        w = _cubic(dist)
+    w = w / np.sum(w, axis=1, keepdims=True)
+    # mirror out-of-range indices (symmetric padding)
+    aux = np.concatenate([np.arange(in_size), np.arange(in_size - 1, -1, -1)])
+    idx = aux[np.mod(idx.astype(np.int64) - 1, 2 * in_size)]
+    dense = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.repeat(np.arange(out_size), P)
+    np.add.at(dense, (rows, idx.ravel()), w.ravel())
+    return dense.astype(np.float32)
+
+
+def imresize_matlab(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """MATLAB imresize (bicubic, antialiased) of (..., H, W, C) by ``scale``."""
+    *lead, H, W, C = x.shape
+    out_h = int(np.ceil(H * scale))
+    out_w = int(np.ceil(W * scale))
+    wh = jnp.asarray(_matlab_resize_weights(H, out_h))
+    ww = jnp.asarray(_matlab_resize_weights(W, out_w))
+    orig = x.dtype
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("oh,...hwc->...owc", wh, y)
+    y = jnp.einsum("ow,...hwc->...hoc", ww, y)
+    return y.astype(orig)
