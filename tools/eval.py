@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Evaluation CLI (replaces reference ``tools/test_reds4.py`` + Tester).
+
+Walks the LR dataset tree clip by clip, runs the sliding/tiled/oracle
+inference protocol, reports PSNR / PSNR-Y / SSIM / SSIM-Y / FPS per frame,
+clip, and dataset, and writes PNGs.
+
+    python tools/eval.py --config configs/vmg_eval_reds4.yml \\
+        --checkpoint experiments/VMG-REDS/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+import cv2
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax dir, .pth (torch), or 'random' for smoke runs")
+    p.add_argument("--lr-root", default=None, help="override LR root")
+    p.add_argument("--gt-root", default=None, help="override GT root")
+    p.add_argument("--max-clips", type=int, default=None)
+    args = p.parse_args()
+
+    from vmg_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from vmg_tpu.configs import load_config
+    from vmg_tpu.models import create_model
+    from vmg_tpu.eval import (
+        SlidingEvaluator, calculate_psnr, structural_similarity, rgb2ycbcr_matlab,
+    )
+    from vmg_tpu.eval.eval_utils import read_seq_images, index_generation
+    from vmg_tpu.utils import setup_logger, AverageMeter
+    from vmg_tpu.ckpt import restore_checkpoint
+    from vmg_tpu.ckpt.torch_convert import convert_torch_state_dict
+
+    cfg = load_config(args.config, is_train=False)
+    logger = setup_logger("base", cfg.path.output_dir, "eval")
+    model = create_model(cfg.network, is_train=False)
+
+    lr_root = args.lr_root or cfg.dataset.dataset_root
+    if not lr_root:
+        p.error("no LR root: set dataset.dataset_root in the config "
+                "or pass --lr-root")
+    gt_root = args.gt_root or cfg.dataset.gt_root or lr_root.replace(
+        "train_sharp_bicubic", "train_sharp"
+    )
+
+    # --- params -------------------------------------------------------
+    if args.checkpoint and args.checkpoint.endswith((".pth", ".pt")):
+        import torch
+
+        sd = torch.load(args.checkpoint, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        params = convert_torch_state_dict(sd, strict=cfg.path.strict_load)
+        params = jax.tree.map(jnp.asarray, params)
+    elif args.checkpoint and args.checkpoint != "random":
+        abstract = jax.eval_shape(
+            model.init, jax.random.key(0),
+            jnp.zeros((1, 2, 64, 64, 3), jnp.float32),
+        )
+        state = restore_checkpoint(args.checkpoint, None)
+        params = state["params"] if "params" in state else state
+    else:
+        logger.warning("using RANDOM weights (smoke run)")
+        params = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        )
+
+    fwd = jax.jit(lambda x: model.apply(params, x))
+
+    def forward_fn(clip_np):
+        return np.asarray(fwd(jnp.asarray(clip_np)))
+
+    evaluator = SlidingEvaluator(
+        forward_fn,
+        scale=cfg.scale,
+        test_num_frames=cfg.dataset.num_frames,
+        overlapped_mode=cfg.dataset.overlapped_mode,
+        spatial_wins=cfg.dataset.wins,
+        overlapped_spatial_length=cfg.dataset.overlapped_spatial_length,
+        dataset_name="REDS" if cfg.dataset.name in ("REDS", "REDS4")
+        else cfg.dataset.name,
+    )
+
+    clips = sorted(
+        d for d in os.listdir(lr_root) if os.path.isdir(os.path.join(lr_root, d))
+    )
+    if args.max_clips:
+        clips = clips[: args.max_clips]
+
+    ds_psnr, ds_psnr_y = AverageMeter(), AverageMeter()
+    ds_ssim, ds_ssim_y = AverageMeter(), AverageMeter()
+    ds_fps = AverageMeter()
+
+    for clip in clips:
+        lr_imgs = read_seq_images(os.path.join(lr_root, clip))
+        gt_imgs = read_seq_images(os.path.join(gt_root, clip))
+        n_gt = gt_imgs.shape[0]
+        n_out = cfg.dataset.num_out_frames
+        windows = index_generation(min(n_out, n_gt), n_gt)
+
+        c_psnr, c_psnr_y = AverageMeter(), AverageMeter()
+        c_ssim, c_ssim_y = AverageMeter(), AverageMeter()
+        tested = set()
+        save_dir = os.path.join(cfg.path.output_dir, clip)
+        os.makedirs(save_dir, exist_ok=True)
+
+        for indices in windows:
+            sel = np.asarray(indices)
+            out, fps = evaluator.evaluate_fps(lr_imgs[sel], gt_imgs[sel])
+            ds_fps.update(fps)
+            for i, frame_idx in enumerate(indices):
+                if frame_idx in tested:
+                    continue
+                tested.add(frame_idx)
+                output, target = out[i], gt_imgs[frame_idx]
+                oy = rgb2ycbcr_matlab(output)[..., 0]
+                ty = rgb2ycbcr_matlab(target)[..., 0]
+                psnr = calculate_psnr(output, target)
+                psnr_y = calculate_psnr(oy, ty)
+                ssim = structural_similarity(output, target)
+                ssim_y = structural_similarity(oy, ty)
+                c_psnr.update(psnr)
+                c_psnr_y.update(psnr_y)
+                c_ssim.update(ssim)
+                c_ssim_y.update(ssim_y)
+                cv2.imwrite(
+                    os.path.join(save_dir, f"{cfg.name}-{frame_idx + 1:08d}.png"),
+                    output[..., ::-1],
+                )
+                logger.info(
+                    f"{clip} {frame_idx + 1:3d} - PSNR {psnr:.4f} "
+                    f"PSNR-Y {psnr_y:.4f} SSIM {ssim:.5f} SSIM-Y {ssim_y:.5f}"
+                )
+        logger.info(
+            f"[clip {clip}] PSNR {c_psnr.average():.4f} "
+            f"PSNR-Y {c_psnr_y.average():.4f} SSIM {c_ssim.average():.5f} "
+            f"SSIM-Y {c_ssim_y.average():.5f}"
+        )
+        ds_psnr.update(c_psnr.average())
+        ds_psnr_y.update(c_psnr_y.average())
+        ds_ssim.update(c_ssim.average())
+        ds_ssim_y.update(c_ssim_y.average())
+
+    logger.info(
+        f"[dataset] PSNR {ds_psnr.average():.4f} PSNR-Y {ds_psnr_y.average():.4f} "
+        f"SSIM {ds_ssim.average():.5f} SSIM-Y {ds_ssim_y.average():.5f} "
+        f"FPS {ds_fps.average():.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

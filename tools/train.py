@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Training CLI (replaces reference ``tools/train.py`` + ``dist_train.sh``).
+
+Single entry point for 1..N chips and multi-host: parallelism comes from
+the device mesh, not process launchers.  Usage:
+
+    python tools/train.py --config configs/vmg_reds_few_levels.yml
+    python tools/train.py --config ... --resume   # resume latest orbax step
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--batchsize", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="override niter (smoke tests)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+    args = p.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from vmg_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    from vmg_tpu.configs import load_config
+    from vmg_tpu.data import create_dataset, create_dataloader
+    from vmg_tpu.models import create_model
+    from vmg_tpu.train import init_train_state, make_train_step
+    from vmg_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch, replicate
+    from vmg_tpu.ckpt import save_checkpoint, restore_checkpoint, latest_step
+    from vmg_tpu.utils import setup_logger, AverageMeter, set_random_seed, count_params
+
+    cfg = load_config(args.config, is_train=True)
+    if args.batchsize:
+        cfg.dataset.batch_size = args.batchsize
+    exp_root = os.path.join(cfg.path.experiments_root, cfg.name)
+    ckpt_dir = os.path.join(exp_root, "ckpt")
+    logger = setup_logger("base", exp_root, "train",
+                          tofile=jax.process_index() == 0)
+    set_random_seed(cfg.train.manual_seed)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    n_data = mesh.shape["data"]
+    logger.info(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
+
+    model = create_model(cfg.network, is_train=True)
+    t0 = time.time()
+    lr_h = cfg.dataset.crop_size // cfg.scale
+    sample = {
+        "LRs": jnp.zeros((cfg.dataset.batch_size, cfg.network.num_frames,
+                          lr_h, lr_h, 3), jnp.float32),
+        "HRs": jnp.zeros((cfg.dataset.batch_size, cfg.network.num_frames,
+                          cfg.dataset.crop_size, cfg.dataset.crop_size, 3),
+                         jnp.float32),
+    }
+    params = jax.jit(model.init)(jax.random.key(cfg.train.manual_seed),
+                                 sample["LRs"])
+    logger.info(f"model init: {count_params(params)/1e6:.3f}M params "
+                f"({time.time()-t0:.1f}s)")
+
+    state = init_train_state(model, params, cfg.train, cfg.network.flow_fix)
+    start_step = 0
+    if args.resume:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_checkpoint(ckpt_dir, state, step)
+            start_step = int(state.step)
+            logger.info(f"resumed from step {start_step}")
+
+    grad_acc = max(1, cfg.dataset.total_batch // cfg.dataset.batch_size) \
+        if cfg.train.grad_acc else 1
+    raw_step = make_train_step(model, cfg.train, grad_acc=grad_acc, jit=False)
+    step_fn = make_sharded_train_step(raw_step, mesh)
+    state = replicate(mesh, state)
+
+    dataset = create_dataset(cfg.dataset, cfg.scale)
+    loader = create_dataloader(dataset, cfg.dataset,
+                               num_replicas=jax.process_count(),
+                               rank=jax.process_index())
+
+    niter = args.max_steps or cfg.train.niter
+    meter = AverageMeter()
+    step = start_step
+    epoch = 0
+    t_log = time.time()
+    key = jax.random.key(cfg.train.manual_seed + 777)
+    while step < niter:
+        dataset.set_epoch(epoch)
+        if hasattr(loader.sampler, "set_epoch"):
+            loader.sampler.set_epoch(epoch)
+        for batch in loader:
+            if step >= niter:
+                break
+            key, sub = jax.random.split(key)
+            dev_batch = shard_batch(mesh, {
+                "LRs": batch["LRs"], "HRs": batch["HRs"]
+            })
+            state, metrics = step_fn(state, dev_batch, sub)
+            step += 1
+            meter.update(float(metrics["loss"]))
+            if step % cfg.logger.print_freq == 0:
+                dt = time.time() - t_log
+                logger.info(
+                    f"step {step}/{niter} epoch {epoch} "
+                    f"loss {meter.average():.5f} "
+                    f"({cfg.logger.print_freq / dt:.2f} it/s)"
+                )
+                meter.reset()
+                t_log = time.time()
+            if step % cfg.logger.save_checkpoint_freq == 0 and \
+                    jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, step, jax.device_get(state))
+                logger.info(f"checkpoint saved at step {step}")
+        epoch += 1
+
+    if jax.process_index() == 0:
+        save_checkpoint(ckpt_dir, step, jax.device_get(state))
+        logger.info(f"final checkpoint at step {step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from vmg_tpu.data.storage import open_backend, PackedWriter
+from vmg_tpu.data.clip_dataset import REDSDataset, VimeoDataset, create_dataset
+from vmg_tpu.data.sampler import IterSampler
+from vmg_tpu.data.loader import PrefetchLoader, create_dataloader

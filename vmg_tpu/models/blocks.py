@@ -1,0 +1,562 @@
+"""VMG block library: MorphFC axis mixers, FFN zoo, TAB.
+
+Rebuilt from the behavior of reference ``models/function.py`` (TAB:1139,
+Enhanced_MorphFCs:494, Enhanced_MorphFCs_decay:596, FFN variants:30-367)
+with TPU-first layout: everything is channels-last (B, T, H, W, C), the
+axis mixers are expressed as reshapes + one dense matmul so XLA tiles them
+onto the MXU, and the retention decay is a constant matrix folded into the
+weight at use time (never an in-place mutation -- see
+``vmg_tpu.ops.decay``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vmg_tpu.models.norms import TorchLayerNorm, RMSNorm
+from vmg_tpu.ops.decay import morphfc_decay_matrix
+
+# torch nn.GELU default is the exact erf form
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x, slope=0.01):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def symm_sigmoid(x):
+    return jax.nn.sigmoid(x) - 0.5
+
+
+_SYMM_ACTS = {
+    "tanh": jnp.tanh,
+    "sigmoid": symm_sigmoid,
+    "relu": jax.nn.relu,
+    "gelu": gelu_exact,
+    "swish": jax.nn.silu,
+}
+
+
+def trunc_normal_init(std=0.02):
+    # timm trunc_normal_: truncated at +/-2 std
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return init
+
+
+def torch_linear_init(in_features):
+    """torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in))."""
+    bound = 1.0 / math.sqrt(in_features)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def torch_conv_kernel_init(scale: float = 1.0):
+    """torch nn.Conv2d default init (kaiming uniform a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    flax kernel shape is (kh, kw, cin/groups, cout); fan_in = kh*kw*cin_g.
+    ``scale`` supports the reference's x0.1 residual-trunk scaling
+    (``models/layers.py:14-31``).
+    """
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2]
+        bound = 1.0 / math.sqrt(fan_in)
+        return scale * jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics, scale_by_keep=True)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# FFN zoo (channel mixing; reference function.py:30-367)
+# ---------------------------------------------------------------------------
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (reference Mlp:30)."""
+
+    dim: int
+    hidden: Optional[int] = None
+    out: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.hidden or self.dim
+        out = self.out or self.dim
+        x = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(out, kernel_init=trunc_normal_init(), name="fc2")(x)
+        return x
+
+
+class MlpCnn(nn.Module):
+    """3x3 conv expand -> GELU -> linear project (reference Mlp_cnn:50).
+
+    The default ``ffn_cnn`` channel mixer of all shipped configs.
+    """
+
+    dim: int
+    exp_r: float = 4.0
+    n_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        hidden = int(self.dim * self.exp_r)
+        y = x.reshape(B * T, H, W, C)
+        y = nn.Conv(hidden, (3, 3), padding=1, feature_group_count=self.n_groups, kernel_init=torch_conv_kernel_init(), name="fc1")(y)
+        y = gelu_exact(y)
+        y = y.reshape(B, T, H, W, hidden)
+        y = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc2")(y)
+        return y
+
+
+class MlpGEGLU(nn.Module):
+    """gelu(fc11) * fc12 -> fc2 (reference Mlp_GEGLU:1103)."""
+
+    dim: int
+    hidden: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.hidden or self.dim
+        a = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc11")(x)
+        b = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc12")(x)
+        y = gelu_exact(a) * b
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc2")(y)
+
+
+class MlpIr(nn.Module):
+    """linear expand -> +gelu(dwconv) residual -> project (Mlp_ir:282)."""
+
+    dim: int
+    exp_r: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        hidden = int(self.dim * self.exp_r)
+        y = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc1")(x)
+        y = gelu_exact(y)
+        z = y.reshape(B * T, H, W, hidden)
+        z = z + gelu_exact(
+            nn.Conv(hidden, (3, 3), padding=1, feature_group_count=hidden, kernel_init=torch_conv_kernel_init(), name="fc2")(z)
+        )
+        y = z.reshape(B, T, H, W, hidden)
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc3")(y)
+
+
+class MlpIrMulti(nn.Module):
+    """Multi-kernel depthwise IR-FFN (reference Mlp_ir_multi:318)."""
+
+    dim: int
+    exp_r: float = 4.0
+    stage_n: tuple = (1, 3, 5, 7)
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        hidden = int(self.dim * self.exp_r)
+        n = len(self.stage_n)
+        cg = hidden // n
+        y = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc1")(x)
+        y = gelu_exact(y)
+        z = y.reshape(B * T, H, W, hidden)
+        parts = []
+        for i, k in enumerate(self.stage_n):
+            seg = z[..., i * cg : (i + 1) * cg]
+            parts.append(
+                nn.Conv(cg, (k, k), padding=k // 2, feature_group_count=cg, kernel_init=torch_conv_kernel_init(), name=f"fc2_multi{i}")(seg)
+            )
+        z = jnp.concatenate(parts, axis=-1)
+        z = z + gelu_exact(z)
+        y = z.reshape(B, T, H, W, hidden)
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc3")(y)
+
+
+class PatchShift2D(nn.Module):
+    """9-way channel-chunk spatial shift (reference PatchShift2D:197)."""
+
+    inv: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        n = 9
+        Cp = -(-C // n) * n
+        x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, Cp - C)))
+        chunks = jnp.split(x, n, axis=-1)
+        mult = -1 if self.inv else 1
+        shift_tab = [(1, 1), (1, 0), (1, -1), (0, 1), (0, 0), (0, -1), (-1, 1), (-1, 0), (-1, -1)]
+        shifted = [
+            jnp.roll(c, (mult * sh, mult * sw), axis=(-3, -2))
+            for c, (sh, sw) in zip(chunks, shift_tab)
+        ]
+        out = jnp.concatenate(shifted, axis=-1)
+        return out[:, :, 1 : H + 1, 1 : W + 1, :C]
+
+
+class MlpCnnShift(nn.Module):
+    """Shift-FFN with 2-branch softmax reweight (reference Mlp_cnn_shift:239)."""
+
+    dim: int
+    exp_r: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        hidden = int(self.dim * self.exp_r)
+        y = nn.Dense(hidden, kernel_init=trunc_normal_init(), name="fc")(x)
+        y = gelu_exact(y)
+        h = PatchShift2D(inv=True, name="shift_inv")(
+            gelu_exact(nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc1")(
+                PatchShift2D(name="shift")(y)))
+        )
+        w = gelu_exact(nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc2")(y))
+        a = (h + w).mean(axis=(1, 2, 3))  # (B, C)
+        a = Mlp(self.dim, self.dim // 4, self.dim * 2, name="reweight")(a)
+        a = a.reshape(B, C, 2).transpose(2, 0, 1)
+        a = jax.nn.softmax(a, axis=0)[..., None, None, None, :].reshape(2, B, 1, 1, 1, C)
+        y = h * a[0] + w * a[1]
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
+
+
+def make_ffn(ffn_type: str, dim: int, mlp_ratio: float, n_groups: int, name: str):
+    if ffn_type == "vanilla":
+        return Mlp(dim, int(dim * mlp_ratio), name=name)
+    if ffn_type == "ffn_cnn":
+        return MlpCnn(dim, exp_r=mlp_ratio, n_groups=n_groups, name=name)
+    if ffn_type == "ffn_cnn_shift":
+        return MlpCnnShift(dim, exp_r=mlp_ratio, name=name)
+    if ffn_type == "irffn_single":
+        return MlpIr(dim, exp_r=mlp_ratio, name=name)
+    if ffn_type == "irffn_multi":
+        return MlpIrMulti(dim, exp_r=mlp_ratio, name=name)
+    raise ValueError(f"unknown ffn_type {ffn_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# channel attention (RCAB, reference function.py:542-583)
+# ---------------------------------------------------------------------------
+
+
+class CALayer(nn.Module):
+    channel: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, C)
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.Conv(self.channel // self.reduction, (1, 1), kernel_init=torch_conv_kernel_init(), name="conv_du0")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.channel, (1, 1), kernel_init=torch_conv_kernel_init(), name="conv_du1")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y
+
+
+class RCAB(nn.Module):
+    """conv-ReLU-conv + SE, residual (reference RCAB:561, reduction=8)."""
+
+    n_feat: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        B, T, H, W, C = x.shape
+        y = x.reshape(B * T, H, W, C)
+        res = nn.Conv(self.n_feat, (3, 3), padding=1, kernel_init=torch_conv_kernel_init(), name="body0")(y)
+        res = jax.nn.relu(res)
+        res = nn.Conv(self.n_feat, (3, 3), padding=1, kernel_init=torch_conv_kernel_init(), name="body1")(res)
+        res = CALayer(self.n_feat, self.reduction, name="ca")(res)
+        y = y + res
+        return y.reshape(B, T, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# MBConv spatial mixer (reference models/CNNs.py:136-201)
+# ---------------------------------------------------------------------------
+
+
+class InvertedResidual(nn.Module):
+    dim: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        B, T, H, W, C = x.shape
+        mid = int(self.dim * self.expansion)
+        y = x.reshape(B * T, H, W, C)
+        y = jax.nn.relu6(nn.Conv(mid, (1, 1), kernel_init=torch_conv_kernel_init(), name="pw")(y))
+        y = jax.nn.relu6(
+            nn.Conv(mid, (3, 3), padding=1, feature_group_count=mid, kernel_init=torch_conv_kernel_init(), name="dw")(y)
+        )
+        y = nn.Conv(self.dim, (1, 1), kernel_init=torch_conv_kernel_init(), name="pw_linear")(y)
+        return x + y.reshape(B, T, H, W, C)
+
+
+class MultiMBConv(nn.Module):
+    dim: int
+    num_blocks: int = 10
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_blocks):
+            x = InvertedResidual(self.dim, self.expansion, name=f"block{i}")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# MorphFC axis mixers
+# ---------------------------------------------------------------------------
+
+
+def _morph_mix_h(x, fc_apply, chunk_h, Ch):
+    """Height-axis morph mixing: tokens are channel chunks, features are
+    (position-in-chunk x channel-segment)."""
+    B, T, H, W, C = x.shape
+    S = Ch // chunk_h
+    Hp = -(-H // chunk_h) * chunk_h
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, 0), (0, Ch - C)))
+    G = Hp // chunk_h
+    y = xp.reshape(B, T, G, chunk_h, W, chunk_h, S)  # (.., g, pos, W, q, S)
+    y = y.transpose(0, 1, 2, 4, 5, 3, 6)  # (.., g, W, q, pos, S)
+    y = y.reshape(B, T, G, W, chunk_h, chunk_h * S)
+    y = fc_apply(y)
+    y = y.reshape(B, T, G, W, chunk_h, chunk_h, S)
+    y = y.transpose(0, 1, 2, 5, 3, 4, 6)  # (.., g, pos, W, q, S)
+    y = y.reshape(B, T, Hp, W, Ch)
+    return y[:, :, :H, :, :C]
+
+
+def _morph_mix_w(x, fc_apply, chunk_w, Cw):
+    B, T, H, W, C = x.shape
+    S = Cw // chunk_w
+    Wp = -(-W // chunk_w) * chunk_w
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, Cw - C)))
+    G = Wp // chunk_w
+    y = xp.reshape(B, T, H, G, chunk_w, chunk_w, S)  # (.., H, g, pos, q, S)
+    y = y.transpose(0, 1, 2, 3, 5, 4, 6)  # (.., H, g, q, pos, S)
+    y = y.reshape(B, T, H, G, chunk_w, chunk_w * S)
+    y = fc_apply(y)
+    y = y.reshape(B, T, H, G, chunk_w, chunk_w, S)
+    y = y.transpose(0, 1, 2, 3, 5, 4, 6)
+    y = y.reshape(B, T, H, Wp, Cw)
+    return y[:, :, :, :W, :C]
+
+
+class _DecayedAxisFC(nn.Module):
+    """Dense layer whose kernel is scaled elementwise by the retention-decay
+    matrix at use time, with optional ReLU (reference function.py:623-644,
+    766-783 -- functionalized)."""
+
+    features: int
+    chunk: int
+    use_bias: bool = True
+    non_linear: bool = True
+    decay: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # the reference re-inits every nn.Linear with trunc_normal(0.02) and
+        # zero bias via VMG._init_weights (models/vmg.py:415-424)
+        kernel = self.param(
+            "kernel", trunc_normal_init(), (self.features, self.features)
+        )
+        if self.decay:
+            gamma = morphfc_decay_matrix(self.chunk, self.features // self.chunk)
+            kernel = kernel * gamma
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        if self.non_linear:
+            y = jax.nn.relu(y)
+        return y
+
+
+class MorphFCDecay(nn.Module):
+    """Enhanced_MorphFCs_decay (reference function.py:596-805).
+
+    Three branches (H-axis FC, W-axis FC, channel mixer) with retention
+    decay on the axis FCs, per-branch 1/C scaling (or RMSNorm), squeeze-mean
+    softmax reweighting, projection, and a symmetric-activation gate.
+    """
+
+    dim: int
+    chunk_h: int = 8
+    chunk_w: int = 8
+    qkv_bias: bool = True
+    non_linear: bool = True
+    gating: bool = True
+    symm: bool = True
+    symm_act: str = "tanh"
+    relu_scale: bool = True
+    relu_scale_norm: bool = False
+    channel_mixer: str = "vanilla"
+    decay: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        Ch = -(-C // self.chunk_h) * self.chunk_h
+        Cw = -(-C // self.chunk_w) * self.chunk_w
+
+        x_short = x
+
+        fc_h = _DecayedAxisFC(
+            Ch, self.chunk_h, self.qkv_bias, self.non_linear, self.decay, name="mlp_h"
+        )
+        fc_w = _DecayedAxisFC(
+            Cw, self.chunk_w, self.qkv_bias, self.non_linear, self.decay, name="mlp_w"
+        )
+
+        if self.relu_scale_norm:
+            scale_h = RMSNorm(Ch, name="scale_h")
+            scale_w = RMSNorm(Cw, name="scale_w")
+            scale_c = RMSNorm(C, name="scale_c")
+        elif self.relu_scale:
+            scale_h = lambda v: v / Ch
+            scale_w = lambda v: v / Cw
+            scale_c = lambda v: v / C
+        else:
+            scale_h = scale_w = scale_c = lambda v: v
+
+        h = _morph_mix_h(x, lambda v: scale_h(fc_h(v)), self.chunk_h, Ch)
+        w = _morph_mix_w(x, lambda v: scale_w(fc_w(v)), self.chunk_w, Cw)
+
+        if self.channel_mixer == "rcab":
+            c = RCAB(self.dim, name="mlp_c")(x)
+        else:
+            c = nn.Dense(
+                self.dim, use_bias=self.qkv_bias,
+                kernel_init=trunc_normal_init(), name="mlp_c",
+            )(x)
+            if self.non_linear:
+                c = jax.nn.relu(c)
+        c = scale_c(c)
+
+        a = (h + w + c).mean(axis=(1, 2, 3))  # (B, C)
+        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(a)
+        a = a.reshape(B, C, 3).transpose(2, 0, 1)
+        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C)
+        y = h * a[0] + w * a[1] + c * a[2]
+        y = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
+
+        if self.gating:
+            if self.symm:
+                gate = _SYMM_ACTS[self.symm_act](y)
+                y = (x_short + y) * gate
+            else:
+                gate = jax.nn.silu(nn.Dense(self.dim, name="gating_fc")(x_short))
+                y = gate * gelu_exact(y)
+        return y
+
+
+class MorphFC(nn.Module):
+    """Enhanced_MorphFCs without decay/gating (reference function.py:494)."""
+
+    dim: int
+    chunk_h: int = 8
+    chunk_w: int = 8
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        Ch = -(-C // self.chunk_h) * self.chunk_h
+        Cw = -(-C // self.chunk_w) * self.chunk_w
+
+        def mk_fc(feat, name):
+            return nn.Dense(
+                feat, use_bias=self.qkv_bias,
+                kernel_init=trunc_normal_init(), name=name,
+            )
+
+        h = _morph_mix_h(x, mk_fc(Ch, "mlp_h"), self.chunk_h, Ch)
+        w = _morph_mix_w(x, mk_fc(Cw, "mlp_w"), self.chunk_w, Cw)
+        c = nn.Dense(self.dim, use_bias=self.qkv_bias,
+                     kernel_init=trunc_normal_init(), name="mlp_c")(x)
+        a = (h + w + c).mean(axis=(1, 2, 3))
+        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(a)
+        a = a.reshape(B, C, 3).transpose(2, 0, 1)
+        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C)
+        y = h * a[0] + w * a[1] + c * a[2]
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
+
+
+# ---------------------------------------------------------------------------
+# TAB: the token-mixing block (reference function.py:1139-1217)
+# ---------------------------------------------------------------------------
+
+
+class TAB(nn.Module):
+    dim: int
+    chunk_h: int = 8
+    chunk_w: int = 8
+    mlp_ratio: float = 2.0
+    n_groups: int = 1
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    if_decay: bool = True
+    non_linear: bool = True
+    gating: bool = True
+    symm: bool = True
+    symm_act: str = "tanh"
+    relu_scale: bool = True
+    relu_scale_norm: bool = False
+    ffn_type: str = "ffn_cnn"
+    mixer_type: str = "mlps"
+    mixer_n: Optional[int] = None
+    mixer_scaling: float = 1.0
+    channel_mixer: str = "vanilla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.mixer_type == "mlps":
+            if self.if_decay:
+                mixer = MorphFCDecay(
+                    self.dim, self.chunk_h, self.chunk_w, self.qkv_bias,
+                    self.non_linear, self.gating, self.symm, self.symm_act,
+                    self.relu_scale, self.relu_scale_norm, self.channel_mixer,
+                    name="spatial_mixing",
+                )
+            else:
+                mixer = MorphFC(self.dim, self.chunk_h, self.chunk_w, self.qkv_bias,
+                                name="spatial_mixing")
+        elif self.mixer_type == "mbconv":
+            mixer = MultiMBConv(self.dim, num_blocks=self.mixer_n or 2,
+                                name="spatial_mixing")
+        else:
+            raise ValueError(f"unknown mixer_type {self.mixer_type!r}")
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        y = mixer(TorchLayerNorm(self.dim, name="norm2")(x))
+        x = x + dp(y, deterministic) * self.mixer_scaling
+        ffn = make_ffn(self.ffn_type, self.dim, self.mlp_ratio, self.n_groups,
+                       name="channel_mixing")
+        y = ffn(TorchLayerNorm(self.dim, name="norm3")(x))
+        x = x + dp(y, deterministic) * self.mixer_scaling
+        return x

@@ -1,0 +1,7 @@
+from vmg_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_sharded_train_step,
+    process_local_batch_slice,
+)

@@ -1,0 +1,86 @@
+"""LR schedules (reference ``utils/lr_scheduler.py`` + Trainer group logic).
+
+Closed-form cosine annealing with warm restarts: within the period starting
+at restart r with length T and weight w,
+
+    lr(t) = eta_min + (base * w - eta_min) * (1 + cos(pi (t - r) / T)) / 2
+
+which is what the reference's stepwise recurrence evaluates to.  The SPyNet
+("pre-training") group is 0 for the first ``flow_fix`` steps -- the frozen
+flow phase (reference ``Trainer.py:244-272``) -- then tracks the main LR
+times ``pre_lr_ratio``.  Warmup linearly scales everything below
+``warmup_iter``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def cosine_annealing_restart(
+    base_lr: float,
+    T_period: Sequence[int],
+    restarts: Optional[Sequence[int]] = None,
+    restart_weights: Sequence[float] = (1.0,),
+    eta_min: float = 0.0,
+):
+    """Returns schedule(step) -> lr, jnp-traceable."""
+    restarts = list(restarts) if restarts else [0]
+    starts = [0] + [int(r) for r in restarts if r > 0]
+    weights = [1.0] + [float(w) for w, r in zip(restart_weights, restarts) if r > 0]
+    if len(starts) == 1:
+        weights = [float(restart_weights[0])] if restart_weights else [1.0]
+    periods = [int(t) for t in T_period]
+    starts_arr = jnp.asarray(starts, jnp.float32)
+    periods_arr = jnp.asarray(periods[: len(starts)], jnp.float32)
+    weights_arr = jnp.asarray(weights[: len(starts)], jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = jnp.sum(step >= starts_arr) - 1
+        idx = jnp.clip(idx, 0, len(starts) - 1)
+        r = starts_arr[idx]
+        T = periods_arr[idx]
+        w = weights_arr[idx]
+        cos = (1.0 + jnp.cos(jnp.pi * (step - r) / T)) / 2.0
+        return eta_min + (base_lr * w - eta_min) * cos
+
+    return schedule
+
+
+def main_lr_schedule(train_cfg):
+    """Main param-group LR from a TrainConfig."""
+    base = cosine_annealing_restart(
+        train_cfg.lr,
+        train_cfg.T_period,
+        train_cfg.restarts,
+        train_cfg.restart_weights,
+        train_cfg.eta_min,
+    )
+
+    def schedule(step):
+        lr = base(step)
+        if train_cfg.warmup_iter > 0:
+            lr = jnp.where(
+                step < train_cfg.warmup_iter,
+                train_cfg.lr * step / train_cfg.warmup_iter,
+                lr,
+            )
+        return lr
+
+    return schedule
+
+
+def spynet_lr_schedule(train_cfg, flow_fix: Optional[int]):
+    """SPyNet group: frozen (0) through flow_fix, then pre_lr_ratio x main."""
+    main = main_lr_schedule(train_cfg)
+    fix = flow_fix if flow_fix is not None else 0
+
+    def schedule(step):
+        lr = main(step) * train_cfg.pre_lr_ratio
+        return jnp.where(step <= fix, 0.0, lr)
+
+    return schedule

@@ -1,0 +1,2 @@
+from vmg_tpu.utils.logging_utils import setup_logger, AverageMeter
+from vmg_tpu.utils.misc import set_random_seed, mkdir_and_rename, count_params
