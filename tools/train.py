@@ -59,7 +59,8 @@ def main():
     n_data = mesh.shape["data"]
     logger.info(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
 
-    model = create_model(cfg.network, is_train=True)
+    amp_dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
+    model = create_model(cfg.network, is_train=True, dtype=amp_dtype)
     t0 = time.time()
     lr_h = cfg.dataset.crop_size // cfg.scale
     sample = {

@@ -27,6 +27,23 @@ from typing import Dict, Mapping, Tuple
 import numpy as np
 
 
+def normalize_torch_checkpoint(ckpt: Mapping, source: str = "mine") -> Dict:
+    """Unwrap the three checkpoint containers the reference tester accepts
+    (``tools/Tester.py:311-373``): 'mine' = plain state_dict (opt. with
+    'module.' prefixes), 'ST' = {'state_dict': {'generator.<k>': v}},
+    'KAIR' = {'params': {...}}."""
+    if source == "mine":
+        sd = ckpt.get("state_dict", ckpt)
+        return strip_module_prefix(sd)
+    if source == "ST":
+        sd = ckpt["state_dict"]
+        return {k[len("generator."):]: v for k, v in sd.items()
+                if k.startswith("generator.")}
+    if source == "KAIR":
+        return dict(ckpt["params"])
+    raise ValueError(f"unknown checkpoint source {source!r}")
+
+
 def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Drop a leading 'module.' (DataParallel wrap)."""
     out = {}

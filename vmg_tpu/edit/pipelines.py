@@ -1,0 +1,283 @@
+"""Declarative data-transform pipeline (reference
+``mmedit/datasets/pipelines/``: augmentation.py, crop.py, loading.py,
+formating.py, normalization.py -- the subset exercised by video SR).
+
+Transforms operate on a plain dict of numpy arrays/lists and are composed
+from config dicts through the PIPELINES registry.  Image values are float32
+RGB HWC unless a transform says otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import cv2
+
+from vmg_tpu.edit.registry import PIPELINES, build_from_cfg
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = [
+            t if callable(t) else build_from_cfg(t, PIPELINES)
+            for t in transforms
+        ]
+
+    def __call__(self, results: Dict) -> Optional[Dict]:
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+    def __repr__(self):
+        return f"Compose({self.transforms})"
+
+
+def _imread(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[:, :, ::-1].astype(np.float32)  # RGB, [0,255]
+
+
+@PIPELINES.register_module()
+class GenerateSegmentIndices:
+    """Sample a temporal segment of frame filenames for recurrent training
+    (reference augmentation.py GenerateSegmentIndices)."""
+
+    def __init__(self, interval_list=(1,), start_idx=0, filename_tmpl="{:08d}.png"):
+        self.interval_list = list(interval_list)
+        self.start_idx = start_idx
+        self.filename_tmpl = filename_tmpl
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        interval = rng.choice(self.interval_list)
+        seq_len = results["sequence_length"]
+        num = results.get("num_input_frames", seq_len)
+        if num * interval > seq_len:
+            raise ValueError("clip too short for the sampled interval")
+        start = int(rng.integers(0, seq_len - num * interval + 1))
+        end = start + num * interval
+        idx = list(range(start + self.start_idx, end + self.start_idx, interval))
+        results["frame_indices"] = idx
+        results["lq_path"] = [
+            os.path.join(results["lq_folder"], results["key"],
+                         self.filename_tmpl.format(i)) for i in idx
+        ]
+        results["gt_path"] = [
+            os.path.join(results["gt_folder"], results["key"],
+                         self.filename_tmpl.format(i)) for i in idx
+        ]
+        results["interval"] = interval
+        return results
+
+
+@PIPELINES.register_module()
+class GenerateFrameIndices:
+    """Center frame + neighbors with temporal jitter (EDVR-style,
+    reference augmentation.py GenerateFrameIndices)."""
+
+    def __init__(self, interval_list=(1,), frames_per_clip=99):
+        self.interval_list = list(interval_list)
+        self.frames_per_clip = frames_per_clip
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        clip, frame = results["key"].split(os.sep)[-2:]
+        center = int(frame)
+        num_half = results["num_input_frames"] // 2
+        interval = rng.choice(self.interval_list)
+        start = center - num_half * interval
+        end = center + num_half * interval
+        while start < 0 or end > self.frames_per_clip:
+            center = int(rng.integers(0, self.frames_per_clip + 1))
+            start = center - num_half * interval
+            end = center + num_half * interval
+        idx = list(range(start, end + 1, interval))
+        results["frame_indices"] = idx
+        return results
+
+
+@PIPELINES.register_module()
+class LoadImageFromFileList:
+    def __init__(self, io_key: str = "lq_path", save_key: Optional[str] = None):
+        self.io_key = io_key
+        self.save_key = save_key or io_key.replace("_path", "")
+
+    def __call__(self, results):
+        results[self.save_key] = [_imread(p) for p in results[self.io_key]]
+        return results
+
+
+@PIPELINES.register_module()
+class RescaleToZeroOne:
+    def __init__(self, keys=("lq", "gt")):
+        self.keys = keys
+
+    def __call__(self, results):
+        for k in self.keys:
+            v = results[k]
+            results[k] = ([im / 255.0 for im in v] if isinstance(v, list)
+                          else v / 255.0)
+        return results
+
+
+@PIPELINES.register_module()
+class PairedRandomCrop:
+    """Crop gt_patch_size from GT and gt/scale from LQ at paired positions
+    (reference crop.py PairedRandomCrop)."""
+
+    def __init__(self, gt_patch_size: int):
+        self.gt_patch_size = gt_patch_size
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        scale = results["scale"]
+        lq_patch = self.gt_patch_size // scale
+        lq = results["lq"]
+        gt = results["gt"]
+        h, w = lq[0].shape[:2]
+        if h < lq_patch or w < lq_patch:
+            raise ValueError(f"LQ {h}x{w} smaller than patch {lq_patch}")
+        top = int(rng.integers(0, h - lq_patch + 1))
+        left = int(rng.integers(0, w - lq_patch + 1))
+        results["lq"] = [v[top: top + lq_patch, left: left + lq_patch] for v in lq]
+        gtop, gleft = top * scale, left * scale
+        results["gt"] = [
+            v[gtop: gtop + self.gt_patch_size, gleft: gleft + self.gt_patch_size]
+            for v in gt
+        ]
+        return results
+
+
+@PIPELINES.register_module()
+class Flip:
+    def __init__(self, keys=("lq", "gt"), flip_ratio=0.5, direction="horizontal"):
+        assert direction in ("horizontal", "vertical")
+        self.keys = keys
+        self.flip_ratio = flip_ratio
+        self.direction = direction
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        if rng.random() < self.flip_ratio:
+            ax = 1 if self.direction == "horizontal" else 0
+            for k in self.keys:
+                results[k] = [np.ascontiguousarray(np.flip(v, ax))
+                              for v in results[k]]
+        return results
+
+
+@PIPELINES.register_module()
+class RandomTransposeHW:
+    def __init__(self, keys=("lq", "gt"), transpose_ratio=0.5):
+        self.keys = keys
+        self.transpose_ratio = transpose_ratio
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        if rng.random() < self.transpose_ratio:
+            for k in self.keys:
+                results[k] = [v.transpose(1, 0, 2) for v in results[k]]
+        return results
+
+
+@PIPELINES.register_module()
+class TemporalReverse:
+    def __init__(self, keys=("lq", "gt"), reverse_ratio=0.5):
+        self.keys = keys
+        self.reverse_ratio = reverse_ratio
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        if rng.random() < self.reverse_ratio:
+            for k in self.keys:
+                results[k] = results[k][::-1]
+        return results
+
+
+@PIPELINES.register_module()
+class MirrorSequence:
+    """[f0..fn] -> [f0..fn, fn..f0] (reference augmentation.py)."""
+
+    def __init__(self, keys=("lq", "gt")):
+        self.keys = keys
+
+    def __call__(self, results):
+        for k in self.keys:
+            results[k] = list(results[k]) + list(results[k])[::-1]
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    """Pad spatial dims to a multiple (reference augmentation.py Pad)."""
+
+    def __init__(self, keys=("lq",), ds_factor: int = 32, mode="reflect"):
+        self.keys = keys
+        self.ds_factor = ds_factor
+        self.mode = mode
+
+    def __call__(self, results):
+        for k in self.keys:
+            frames = results[k]
+            h, w = frames[0].shape[:2]
+            ph = (-h) % self.ds_factor
+            pw = (-w) % self.ds_factor
+            if ph or pw:
+                results[k] = [
+                    np.pad(v, ((0, ph), (0, pw), (0, 0)), mode=self.mode)
+                    for v in frames
+                ]
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    def __init__(self, keys, mean, std):
+        self.keys = keys
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, results):
+        for k in self.keys:
+            v = results[k]
+            if isinstance(v, list):
+                results[k] = [(im - self.mean) / self.std for im in v]
+            else:
+                results[k] = (v - self.mean) / self.std
+        return results
+
+
+@PIPELINES.register_module()
+class FramesToArray:
+    """Stack frame lists into (T, H, W, C) float32 arrays (channels-last;
+    replaces the reference's FramesToTensor CHW torch stacking)."""
+
+    def __init__(self, keys=("lq", "gt")):
+        self.keys = keys
+
+    def __call__(self, results):
+        for k in self.keys:
+            results[k] = np.ascontiguousarray(
+                np.stack(results[k], 0).astype(np.float32)
+            )
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    def __init__(self, keys, meta_keys=()):
+        self.keys = keys
+        self.meta_keys = meta_keys
+
+    def __call__(self, results):
+        out = {k: results[k] for k in self.keys}
+        meta = {k: results[k] for k in self.meta_keys if k in results}
+        if meta:
+            out["meta"] = meta
+        return out

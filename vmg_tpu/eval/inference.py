@@ -37,6 +37,10 @@ class SlidingEvaluator:
         spatial_wins: Optional[Sequence[int]] = (128, 128),
         overlapped_spatial_length: Optional[int] = 20,
         dataset_name: str = "REDS",
+        data_enhance: bool = False,
+        tta_hflip: bool = True,
+        tta_vflip: bool = True,
+        tta_rot: bool = False,
     ):
         self.forward_fn = forward_fn
         self.scale = scale
@@ -54,7 +58,25 @@ class SlidingEvaluator:
         self.spatial_wins = tuple(spatial_wins) if spatial_wins else None
         self.overlapped_spatial_length = overlapped_spatial_length
         self.dataset_name = dataset_name
+        self.data_enhance = data_enhance
+        self.tta = (tta_hflip, tta_vflip, tta_rot)
         self.t_idx_list: List[int] = []
+
+    # -- TTA (reference Tester.py:387-445; the flip/transpose transforms
+    #    are involutions, so augment == augment_inverse) ----------------
+
+    def augment(self, clip: np.ndarray) -> np.ndarray:
+        """clip: (B, T, H, W, C)."""
+        hflip, vflip, rot90 = self.tta
+        if hflip:
+            clip = clip[:, :, :, ::-1]
+        if vflip:
+            clip = clip[:, :, ::-1]
+        if rot90:
+            clip = clip.transpose(0, 1, 3, 2, 4)
+        return np.ascontiguousarray(clip)
+
+    augment_inverse = augment
 
     # -- spatial tiling ------------------------------------------------
 
@@ -167,13 +189,19 @@ class SlidingEvaluator:
                  HR_uint8: Optional[np.ndarray] = None) -> np.ndarray:
         """inputs: (T, H, W, 3) uint8 RGB -> (T, sH, sW, 3) uint8."""
         x = inputs_uint8.astype(np.float32)[None] / 255.0
+        if self.data_enhance:
+            x = self.augment(x)
         if self.dataset_name == "Vimeo90k_septuplet":
             out = self._run_clip(x)
         elif self.dataset_name == "REDS":
             hr = HR_uint8.astype(np.float32)[None] / 255.0
+            if self.data_enhance:
+                hr = self.augment(hr)
             out = self.test_clips_max(x, hr)
         else:
             out = self.test_clips(x)
+        if self.data_enhance:
+            out = self.augment_inverse(out)
         out = np.clip(out[0], 0.0, 1.0)
         return np.round(out * 255.0).astype(np.uint8)
 

@@ -387,7 +387,7 @@ class _DecayedAxisFC(nn.Module):
         )
         if self.decay:
             gamma = morphfc_decay_matrix(self.chunk, self.features // self.chunk)
-            kernel = kernel * gamma
+            kernel = kernel * gamma.astype(kernel.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -458,10 +458,13 @@ class MorphFCDecay(nn.Module):
                 c = jax.nn.relu(c)
         c = scale_c(c)
 
-        a = (h + w + c).mean(axis=(1, 2, 3))  # (B, C)
-        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(a)
-        a = a.reshape(B, C, 3).transpose(2, 0, 1)
-        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C)
+        # squeeze-mean + branch softmax in fp32 (bf16 means over T*H*W drift)
+        a = (h + w + c).astype(jnp.float32).mean(axis=(1, 2, 3))  # (B, C)
+        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(
+            a.astype(h.dtype)
+        )
+        a = a.reshape(B, C, 3).transpose(2, 0, 1).astype(jnp.float32)
+        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C).astype(h.dtype)
         y = h * a[0] + w * a[1] + c * a[2]
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
 
@@ -499,10 +502,12 @@ class MorphFC(nn.Module):
         w = _morph_mix_w(x, mk_fc(Cw, "mlp_w"), self.chunk_w, Cw)
         c = nn.Dense(self.dim, use_bias=self.qkv_bias,
                      kernel_init=trunc_normal_init(), name="mlp_c")(x)
-        a = (h + w + c).mean(axis=(1, 2, 3))
-        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(a)
-        a = a.reshape(B, C, 3).transpose(2, 0, 1)
-        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C)
+        a = (h + w + c).astype(jnp.float32).mean(axis=(1, 2, 3))
+        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(
+            a.astype(h.dtype)
+        )
+        a = a.reshape(B, C, 3).transpose(2, 0, 1).astype(jnp.float32)
+        a = jax.nn.softmax(a, axis=0).reshape(3, B, 1, 1, 1, C).astype(h.dtype)
         y = h * a[0] + w * a[1] + c * a[2]
         return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
 

@@ -271,6 +271,9 @@ class VMG(nn.Module):
 
     cfg: VMGNetworkConfig
     is_train: bool = True
+    dtype: Any = jnp.float32  # feature-path compute dtype (bf16 policy:
+    # cast params with vmg_tpu.train.precision and pass dtype=bf16; flow
+    # stays fp32 either way)
 
     @nn.compact
     def __call__(self, x, *, frames_mirror: bool = False,
@@ -303,7 +306,9 @@ class VMG(nn.Module):
             flows_f = [None] * cfg.num_enc_layers
             flows_b = [None] * cfg.num_enc_layers
 
-        feat = InputProj(cfg.embed_dim[0], name="input_proj")(xp)
+        feat = InputProj(cfg.embed_dim[0], name="input_proj")(
+            xp.astype(self.dtype)
+        )
 
         # stochastic-depth schedule (reference vmg.py:234-241)
         n_enc = cfg.num_enc_layers
@@ -368,7 +373,7 @@ class VMG(nn.Module):
                       kernel_init=torch_conv_kernel_init(), name="conv_last")(out)
 
         out = out.reshape(Bf, Tf, 4 * Hf, 4 * Wf, 3)
-        return out + upsample_x
+        return out.astype(jnp.float32) + upsample_x
 
     # ------------------------------------------------------------------
 
@@ -467,5 +472,6 @@ class VMG(nn.Module):
         return x3 + x1
 
 
-def create_model(cfg: VMGNetworkConfig, is_train: bool = True) -> VMG:
-    return VMG(cfg=cfg, is_train=is_train)
+def create_model(cfg: VMGNetworkConfig, is_train: bool = True,
+                 dtype: Any = jnp.float32) -> VMG:
+    return VMG(cfg=cfg, is_train=is_train, dtype=dtype)

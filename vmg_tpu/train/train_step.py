@@ -49,6 +49,12 @@ def make_train_step(
     """
 
     def loss_fn(params, lrs, hrs, rng):
+        if train_cfg.amp:
+            # bf16 compute / fp32 master params; the cast's VJP upcasts
+            # gradients (replaces CUDA AMP + GradScaler, Trainer.py:115)
+            from vmg_tpu.train.precision import cast_params_for_compute
+
+            params = cast_params_for_compute(params, jnp.bfloat16)
         out = model.apply(
             params, lrs, deterministic=False, rngs={"droppath": rng}
         )
