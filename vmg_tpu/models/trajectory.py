@@ -98,14 +98,17 @@ class LTAM(nn.Module):
         head = self.head
         d = c // head
 
-        # resample keyframe buffers at tracked locations (nearest, zeros)
+        # resample keyframe buffers at tracked locations (nearest, zeros);
+        # both buffers share indices, so one fused 2C gather -- TPU gather
+        # cost is per-row, so this halves the dominant LTAM cost
         gx = 2.0 * loc[..., 0] / max(w - 1, 1) - 1.0
         gy = 2.0 * loc[..., 1] / max(h - 1, 1) - 1.0
         grid = jnp.stack([gx, gy], axis=-1).reshape(n * K, h, w, 2)
-        samp_sparse = flow_grid_sample(sparse_buf.reshape(n * K, h, w, c), grid)
-        samp_index = flow_grid_sample(index_buf.reshape(n * K, h, w, c), grid)
-        samp_sparse = samp_sparse.reshape(n, K, h, w, c)
-        samp_index = samp_index.reshape(n, K, h, w, c)
+        both = jnp.concatenate([sparse_buf, index_buf], axis=-1)
+        samp = flow_grid_sample(both.reshape(n * K, h, w, 2 * c), grid)
+        samp = samp.reshape(n, K, h, w, 2 * c)
+        samp_sparse = samp[..., :c]
+        samp_index = samp[..., c:]
 
         # cosine features: normalize over the FULL channel dim, then split heads
         curr_n = _normalize(curr.astype(jnp.float32))
