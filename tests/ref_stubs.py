@@ -1,0 +1,187 @@
+"""Dependency stubs that let the *reference* model (at /root/reference)
+import on torch-CPU for golden-parity testing.
+
+The reference needs timm / mmcv / mmedit / torchvision / thop, none of
+which are installed here.  Only tiny glue is required: an init helper, a
+conv+act container with a ``.conv`` child (so state_dict names match), a
+no-op checkpoint loader, and an eval-mode DropPath.  Nothing here is used
+by the vmg_tpu framework itself.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import torch
+import torch.nn as nn
+
+
+def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+    with torch.no_grad():
+        tensor.normal_(mean, std)
+        tensor.clamp_(mean + a * std, mean + b * std)
+    return tensor
+
+
+def _to_2tuple(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+class _DropPath(nn.Module):
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+        return x / keep * mask
+
+
+class _ConvModule(nn.Module):
+    """conv (+ optional ReLU), with the child named 'conv' so state_dict
+    keys look like mmcv's ConvModule."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, norm_cfg=None, act_cfg=None, **kw):
+        super().__init__()
+        assert norm_cfg is None, "stub supports norm_cfg=None only"
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride=stride, padding=padding)
+        self.act = nn.ReLU() if (act_cfg or {}).get("type") == "ReLU" else None
+
+    def forward(self, x):
+        x = self.conv(x)
+        return self.act(x) if self.act is not None else x
+
+
+def _kaiming_init(module, a=0, mode="fan_in", nonlinearity="leaky_relu",
+                  bias=0, distribution="normal"):
+    if distribution == "normal":
+        nn.init.kaiming_normal_(module.weight, a=a, mode=mode)
+    else:
+        nn.init.kaiming_uniform_(module.weight, a=a, mode=mode)
+    if hasattr(module, "bias") and module.bias is not None:
+        nn.init.constant_(module.bias, bias)
+
+
+def _constant_init(module, val, bias=0):
+    nn.init.constant_(module.weight, val)
+    if hasattr(module, "bias") and module.bias is not None:
+        nn.init.constant_(module.bias, bias)
+
+
+def install_stubs():
+    """Register stub modules in sys.modules (idempotent)."""
+    if "timm" in sys.modules and hasattr(sys.modules.get("timm"), "_vmg_stub"):
+        return
+
+    timm = types.ModuleType("timm")
+    timm._vmg_stub = True
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = _DropPath
+    timm_layers.trunc_normal_ = _trunc_normal_
+    timm_layers.to_2tuple = _to_2tuple
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.layers"] = timm_layers
+
+    mmcv = types.ModuleType("mmcv")
+    mmcv_runner = types.ModuleType("mmcv.runner")
+    mmcv_runner.load_checkpoint = lambda *a, **k: None
+    mmcv_cnn = types.ModuleType("mmcv.cnn")
+    mmcv_cnn.ConvModule = _ConvModule
+    mmcv_cnn.kaiming_init = _kaiming_init
+    mmcv_cnn.constant_init = _constant_init
+    mmcv.runner = mmcv_runner
+    mmcv.cnn = mmcv_cnn
+    sys.modules["mmcv"] = mmcv
+    sys.modules["mmcv.runner"] = mmcv_runner
+    sys.modules["mmcv.cnn"] = mmcv_cnn
+
+    mmedit = types.ModuleType("mmedit")
+    mmedit_utils = types.ModuleType("mmedit.utils")
+    import logging
+
+    mmedit_utils.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+    mmedit.utils = mmedit_utils
+    sys.modules["mmedit"] = mmedit
+    sys.modules["mmedit.utils"] = mmedit_utils
+
+    def _deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                       padding=(0, 0), dilation=(1, 1), mask=None):
+        """torchvision.ops.deform_conv2d semantics in pure torch: offset
+        pairs are (dy, dx) per (group, tap); bilinear sampling with zeros
+        outside; mask multiplies each tap."""
+        import torch.nn.functional as F
+
+        N, Cin, H, W = input.shape
+        Cout, _, kh, kw = weight.shape
+        K = kh * kw
+        G = offset.shape[1] // (2 * K)
+        Cg = Cin // G
+        sh = stride if isinstance(stride, int) else stride[0]
+        ph = padding if isinstance(padding, int) else padding[0]
+        dil = dilation if isinstance(dilation, int) else dilation[0]
+        assert sh == 1 and dil == 1, "stub supports stride=dilation=1"
+
+        off = offset.view(N, G, K, 2, H, W)
+        msk = (mask.view(N, G, K, H, W) if mask is not None
+               else torch.ones(N, G, K, H, W, dtype=input.dtype))
+        ys = torch.arange(H, dtype=input.dtype).view(1, 1, H, 1)
+        xs = torch.arange(W, dtype=input.dtype).view(1, 1, 1, W)
+        xg = input.view(N, G, Cg, H, W)
+
+        cols = []
+        for ki in range(kh):
+            for kj in range(kw):
+                k = ki * kw + kj
+                py = ys + (ki - ph) + off[:, :, k, 0]
+                px = xs + (kj - ph) + off[:, :, k, 1]
+                gy = 2.0 * py / max(H - 1, 1) - 1.0
+                gx = 2.0 * px / max(W - 1, 1) - 1.0
+                grid = torch.stack([gx, gy], dim=-1).view(N * G, H, W, 2)
+                v = F.grid_sample(xg.reshape(N * G, Cg, H, W), grid,
+                                  mode="bilinear", padding_mode="zeros",
+                                  align_corners=True)
+                v = v.view(N, G, Cg, H, W) * msk[:, :, k : k + 1]
+                cols.append(v.reshape(N, Cin, H, W))
+        col = torch.stack(cols, dim=2)  # (N, Cin, K, H, W)
+        out = torch.einsum("nckhw,ock->nohw",
+                           col, weight.view(Cout, Cin, K))
+        if bias is not None:
+            out = out + bias.view(1, -1, 1, 1)
+        return out
+
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.deform_conv2d = _deform_conv2d
+    tv_ops_dc = types.ModuleType("torchvision.ops.deform_conv")
+    tv_ops_dc.deform_conv2d = _deform_conv2d
+    tv.ops = tv_ops
+    tv_ops.deform_conv = tv_ops_dc
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv_ops
+    sys.modules["torchvision.ops.deform_conv"] = tv_ops_dc
+
+    thop = types.ModuleType("thop")
+    thop.profile = lambda *a, **k: (0, 0)
+    sys.modules["thop"] = thop
+
+
+def import_reference_models():
+    """Import the reference 'models' package from /root/reference."""
+    install_stubs()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import models.vmg as ref_vmg  # noqa
+
+    return ref_vmg

@@ -1,0 +1,177 @@
+"""GOLDEN PARITY: run the actual reference model (torch CPU, stubbed deps),
+convert its weights, and compare outputs of the vmg_tpu model end-to-end.
+
+This is the parity North Star from SURVEY.md §4/§7: same weights, same
+input, outputs must agree to fp32 tolerance through the full network
+(SPyNet flows, MorphFC-decay TABs, trajectory recurrence + LTAM, U-Net
+skips, recon head).
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, os.path.dirname(__file__))
+from ref_stubs import import_reference_models  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vmg_tpu.configs.config import VMGNetworkConfig  # noqa: E402
+from vmg_tpu.models import create_model  # noqa: E402
+from vmg_tpu.ckpt.torch_convert import convert_torch_state_dict  # noqa: E402
+
+
+def _build_pair(ref_vmg, *, temporal_empty=True, temporal_type=(False, None),
+                channel_mixer="rcab", ffn_type="ffn_cnn", non_linear=True,
+                ret_decay=True, gating=True, use_mdsc=False,
+                if_local_fuse=True, seed=0):
+    torch.manual_seed(seed)
+    common = dict(
+        embed_dim=[32, 32, 32], depths=[2, 2, 2], num_heads=[2, 4, 2],
+        num_frames=4, window_sizes=[(2, 4, 4), (2, 4, 4), (2, 4, 4)],
+        mlp_ratio=2, n_groups=1,
+    )
+    ref = ref_vmg.VMG(
+        **common,
+        mdsc=use_mdsc, if_concat=False,
+        spynet_pretrained="stub",
+        image_size=[32, 32], is_train=False,
+        traj_win=[4, None], traj_keyframes_n=[2, None], traj_heads=[2, None],
+        temporal_type=list(temporal_type), temporal_empty=temporal_empty,
+        traj_res_n=[2, 0, 2], spatial_type=[False, False],
+        flow_smooth=True, smooth_region_range=4,
+        retention_decay=ret_decay, non_linear=non_linear,
+        gating=gating, symm=True, symm_act="tanh",
+        relu_scale=True, relu_scale_norm=False,
+        ffn_type=ffn_type, mixer_type=["mlps", "mlps"], mixer_n=[None, None],
+        r_scaling=0.1, chunk_ratios=[1 / 4, 1 / 4],
+        traj_mode="wins", twins=[2, 2], traj_scale=True, traj_refine=None,
+        m_scaling=1.0, if_local_fuse=if_local_fuse,
+        channel_mixer=channel_mixer,
+    )
+    ref.eval()
+
+    cfg = VMGNetworkConfig(
+        embed_dim=(32, 32, 32), depths=(2, 2, 2), num_heads=(2, 4, 2),
+        num_frames=4, window_sizes=((2, 4, 4), (2, 4, 4), (2, 4, 4)),
+        mlp_ratio=2.0, n_groups=1,
+        traj_win=(4, None), traj_keyframes_n=(2, None), traj_heads=(2, None),
+        temporal_type=tuple(temporal_type), temporal_empty=temporal_empty,
+        traj_res_n=(2, 0, 2), spatial_type=(False, False),
+        use_mdsc=use_mdsc, flow_smooth=True, smooth_region_range=4,
+        ret_decay=ret_decay, non_linear=non_linear, gating=gating,
+        if_symm=True, symm_act="tanh", relu_scale=True, relu_scale_norm=False,
+        ffn_type=ffn_type, mixer_type=("mlps", "mlps"), mixer_n=(None, None),
+        r_scaling=0.1, chunk_ratios=(0.25, 0.25), traj_mode="wins",
+        twins=(2, 2), traj_scale=True, if_local_fuse=if_local_fuse,
+        channel_mixer=channel_mixer, image_size=(32, 32),
+    )
+    mine = create_model(cfg, is_train=False)
+    return ref, mine
+
+
+def _compare(ref, mine, seed=1, atol=2e-4):
+    # export weights BEFORE any forward: the reference mutates MorphFC
+    # weights in place during forward (function.py:766-781)
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(sd, strict=True)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(seed)
+    x = rng.random((1, 4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+
+    got = np.asarray(mine.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
+    return float(np.abs(got - want).max())
+
+
+@pytest.fixture(scope="module")
+def ref_vmg():
+    return import_reference_models()
+
+
+def test_golden_default_config(ref_vmg):
+    """The shipped few-levels recipe: MorphFC-decay + rcab + ffn_cnn +
+    trajectory tails + local fuse."""
+    ref, mine = _build_pair(ref_vmg)
+    diff = _compare(ref, mine)
+    print(f"max abs diff (default): {diff:.2e}")
+
+
+def test_golden_vanilla_mixer_no_decay(ref_vmg):
+    """ret_decay=False -> Enhanced_MorphFCs (no gating/scale path)."""
+    ref, mine = _build_pair(ref_vmg, ret_decay=False, channel_mixer="vanilla",
+                            gating=False)
+    _compare(ref, mine)
+
+
+def test_golden_vanilla_ffn_and_linear_cmixer(ref_vmg):
+    ref, mine = _build_pair(ref_vmg, ffn_type="vanilla",
+                            channel_mixer="vanilla")
+    _compare(ref, mine)
+
+
+def test_golden_swin3d_tail(ref_vmg):
+    """temporal_empty=False + temporal_type None -> 3D window attention."""
+    ref, mine = _build_pair(ref_vmg, temporal_empty=False,
+                            temporal_type=(None, None))
+    _compare(ref, mine)
+
+
+def test_golden_dcn_alignment_tail(ref_vmg):
+    """temporal_type True -> flow-guided deformable alignment (DCN)."""
+    ref, mine = _build_pair(ref_vmg, temporal_type=(True, None))
+    _compare(ref, mine, atol=5e-4)
+
+
+def test_golden_full_seven_stage_mdsc(ref_vmg):
+    """7-stage U-Net with mdsc shortcuts, trajectory at stage 0/6."""
+    torch.manual_seed(3)
+    common = dict(
+        embed_dim=[16, 32, 32, 64, 32, 32, 16],
+        depths=[1, 1, 1, 1, 1, 1, 1],
+        num_heads=[2, 2, 2, 4, 2, 2, 2],
+        num_frames=4,
+        window_sizes=[(2, 4, 4)] * 7,
+        mlp_ratio=2, n_groups=1,
+    )
+    ref = ref_vmg.VMG(
+        **common, mdsc=True, if_concat=False, spynet_pretrained="stub",
+        image_size=[64, 64], is_train=False,
+        traj_win=[4, None, None, None], traj_keyframes_n=[2, None, None, None],
+        traj_heads=[2, None, None, None],
+        temporal_type=[False, None, None, None], temporal_empty=True,
+        traj_res_n=[2, 0, 0, 0, 0, 0, 2],
+        spatial_type=[False, False, False, False],
+        flow_smooth=True, smooth_region_range=4, retention_decay=True,
+        non_linear=True, gating=True, symm=True, symm_act="tanh",
+        relu_scale=True, relu_scale_norm=False, ffn_type="ffn_cnn",
+        mixer_type=["mlps"] * 4, mixer_n=[None] * 4, r_scaling=0.1,
+        chunk_ratios=[1 / 8, 1 / 4, 3 / 16, 1 / 8], traj_mode="wins",
+        twins=[2, 2], traj_scale=True, traj_refine=None, m_scaling=1.0,
+        if_local_fuse=True, channel_mixer="rcab",
+    )
+    ref.eval()
+    cfg = VMGNetworkConfig(
+        embed_dim=(16, 32, 32, 64, 32, 32, 16), depths=(1,) * 7,
+        num_heads=(2, 2, 2, 4, 2, 2, 2), num_frames=4,
+        window_sizes=((2, 4, 4),) * 7, mlp_ratio=2.0, n_groups=1,
+        traj_win=(4, None, None, None),
+        traj_keyframes_n=(2, None, None, None),
+        traj_heads=(2, None, None, None),
+        temporal_type=(False, None, None, None), temporal_empty=True,
+        traj_res_n=(2, 0, 0, 0, 0, 0, 2), deform_groups=(4, 8, 8, 16),
+        max_res_scale=(1, 2, 2, 4), spatial_type=(False,) * 4,
+        use_mdsc=True, mixer_type=("mlps",) * 4, mixer_n=(None,) * 4,
+        r_scaling=0.1, chunk_ratios=(0.125, 0.25, 0.1875, 0.125),
+        if_local_fuse=True, channel_mixer="rcab", image_size=(64, 64),
+    )
+    mine = create_model(cfg, is_train=False)
+    _compare(ref, mine)

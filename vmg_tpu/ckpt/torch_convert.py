@@ -105,7 +105,7 @@ _STAGE_RULES = [
      r"traj_mixing/blocks\1/attn/relative_position_bias_table"),
     (r"^traj_mixing\.blocks\.(\d+)\.attn\.(q|kv|proj)\.(weight|bias)$",
      r"traj_mixing/blocks\1/attn/\2/{kb}"),
-    (r"^traj_mixing\.blocks\.(\d+)\.mlp\.(fc11|fc12|fc2)\.(weight|bias)$",
+    (r"^traj_mixing\.blocks\.(\d+)\.mlp\.(fc1|fc2)\.(weight|bias)$",
      r"traj_mixing/blocks\1/mlp/\2/{kb}"),
     # DCN alignment tail
     (r"^pa_deform\.weight$", r"pa_deform/weight"),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from vmg_tpu.models.blocks import MlpGEGLU, DropPath, trunc_normal_init
+from vmg_tpu.models.blocks import Mlp, DropPath, trunc_normal_init
 from vmg_tpu.models.norms import TorchLayerNorm
 from vmg_tpu.ops.window import (
     window_partition_3d,
@@ -153,7 +153,9 @@ class EncoderBlockOnOnetoken(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         x = x + dp(y, deterministic)
         if self.num_heads > 0:
-            z = MlpGEGLU(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
+            # the reference block's "Mlp_GEGLU" (swin_3d.py:35) is, despite
+            # the name, a plain fc1 -> GELU -> fc2 MLP
+            z = Mlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
                 TorchLayerNorm(self.dim, name="norm2")(x)
             )
             x = x + dp(z, deterministic)

@@ -143,11 +143,18 @@ class MlpEncoderStage(nn.Module):
         B, T, H, W, C = x.shape
         li = self.layer_idx
         n_enc = cfg.num_enc_layers
-        # decoder layer j mirrors encoder stage (n_enc-2-j)
-        enc_i = li if li < n_enc else (2 * n_enc - 2 - li)
 
-        chunk_h = max(1, int(cfg.image_size[0] * cfg.chunk_ratios[enc_i]))
-        chunk_w = max(1, int(cfg.image_size[1] * cfg.chunk_ratios[enc_i]))
+        def sp(lst):
+            # reference per-stage list indexing: encoder i -> lst[i],
+            # decoder j -> lst[-j-2] (models/vmg.py:283-366); equals the
+            # encoder mirror when len(lst) == num_enc_layers
+            if li < n_enc:
+                return lst[li]
+            return lst[-(li - n_enc) - 2]
+
+        enc_i = li if li < n_enc else (2 * n_enc - 2 - li)
+        chunk_h = max(1, int(cfg.image_size[0] * sp(cfg.chunk_ratios)))
+        chunk_w = max(1, int(cfg.image_size[1] * sp(cfg.chunk_ratios)))
 
         if cfg.flow_smooth and flow_forward is not None:
             flow_forward = _flow_smoothing(flow_forward, cfg.smooth_region_range)
@@ -171,8 +178,8 @@ class MlpEncoderStage(nn.Module):
                 relu_scale=cfg.relu_scale,
                 relu_scale_norm=cfg.relu_scale_norm,
                 ffn_type=cfg.ffn_type,
-                mixer_type=cfg.mixer_type[enc_i],
-                mixer_n=cfg.mixer_n[enc_i],
+                mixer_type=sp(cfg.mixer_type),
+                mixer_n=sp(cfg.mixer_n),
                 mixer_scaling=cfg.m_scaling,
                 channel_mixer=cfg.channel_mixer,
                 name=f"mlp_blocks{b}",
@@ -184,7 +191,7 @@ class MlpEncoderStage(nn.Module):
                         kernel_init=torch_conv_kernel_init(), name="local_cnn")(y)
             x = shortcut + y.reshape(B, T, H, W, C)
 
-        aligned = cfg.temporal_type[enc_i]
+        aligned = sp(cfg.temporal_type)
         if aligned is True:
             x = self._dcn_alignment(x, flow_forward, flow_backward, enc_i)
         elif aligned is None:
@@ -203,8 +210,8 @@ class MlpEncoderStage(nn.Module):
             x = TrajectoryMultiHead(
                 embed_dim=C,
                 num_blocks=cfg.traj_res_n[li],
-                keyframe_stride=cfg.traj_keyframes_n[enc_i] or 3,
-                head=cfg.traj_heads[enc_i] or 4,
+                keyframe_stride=sp(cfg.traj_keyframes_n) or 3,
+                head=sp(cfg.traj_heads) or 4,
                 mode=cfg.traj_mode,
                 head_scale=cfg.traj_scale,
                 r_scaling=cfg.r_scaling,
@@ -219,10 +226,24 @@ class MlpEncoderStage(nn.Module):
         (reference function.py:1391-1409)."""
         cfg = self.cfg
         B, T, H, W, C = x.shape
+        # deform_groups/max_res_scale use the reference's raw-list indexing:
+        # encoder stage i -> list[i], decoder stage j -> list[-j-2]
+        # (models/vmg.py:301-302,348-349) -- NOT the encoder-mirror index
+        # (differs when the config list length != num_enc_layers, as in the
+        # few-levels configs where it has num_layers entries)
+        li = self.layer_idx
+        n_enc = cfg.num_enc_layers
+        if li < n_enc:
+            dg = cfg.deform_groups[li]
+            mrs = cfg.max_res_scale[li]
+        else:
+            j = li - n_enc
+            dg = cfg.deform_groups[-j - 2]
+            mrs = cfg.max_res_scale[-j - 2]
         pa_deform = DCNv2PackFlowGuided(
             dim=C,
-            deformable_groups=cfg.deform_groups[enc_i],
-            max_residue_magnitude=10.0 / cfg.max_res_scale[enc_i],
+            deformable_groups=dg,
+            max_residue_magnitude=10.0 / mrs,
             name="pa_deform",
         )
         # backward: align frame i -> i-1 for i in 1..T-1
