@@ -176,6 +176,36 @@ def install_stubs():
     thop.profile = lambda *a, **k: (0, 0)
     sys.modules["thop"] = thop
 
+    fvcore = types.ModuleType("fvcore")
+    fvcore_nn = types.ModuleType("fvcore.nn")
+    fvcore_nn.FlopCountAnalysis = lambda *a, **k: None
+    fvcore_nn.parameter_count_table = lambda *a, **k: ""
+    fvcore.nn = fvcore_nn
+    sys.modules["fvcore"] = fvcore
+    sys.modules["fvcore.nn"] = fvcore_nn
+
+    import numpy as _np
+
+    def _psnr(a, b, data_range=None):
+        a = _np.asarray(a, _np.float64)
+        b = _np.asarray(b, _np.float64)
+        dr = data_range if data_range is not None else 1.0
+        err = _np.mean((a - b) ** 2)
+        if err == 0:
+            return float("inf")
+        import math
+        return 10 * math.log10(dr ** 2 / err)
+
+    skimage = types.ModuleType("skimage")
+    skimage_metrics = types.ModuleType("skimage.metrics")
+    skimage_metrics.peak_signal_noise_ratio = _psnr
+    skimage_color = types.ModuleType("skimage.color")
+    skimage.metrics = skimage_metrics
+    skimage.color = skimage_color
+    sys.modules["skimage"] = skimage
+    sys.modules["skimage.metrics"] = skimage_metrics
+    sys.modules["skimage.color"] = skimage_color
+
 
 def import_reference_models():
     """Import the reference 'models' package from /root/reference."""

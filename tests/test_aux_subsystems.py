@@ -1,0 +1,59 @@
+"""Aux subsystems: NIQE, profiling stats, StableHLO export, multihost."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+_PRIS = "/root/reference/mmedit/core/evaluation/niqe_pris_params.npz"
+
+
+@pytest.mark.skipif(not os.path.exists(_PRIS), reason="pris params absent")
+def test_niqe_orders_natural_vs_noise(rng):
+    from vmg_tpu.eval.niqe import niqe
+
+    # a smooth gradient image should score better (lower) than pure noise
+    h = w = 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = ((yy + xx) / (h + w) * 200 + 20).astype(np.float64)
+    smooth += rng.standard_normal((h, w)) * 2.0
+    noise = rng.random((h, w)) * 255
+    n_smooth = niqe(smooth, _PRIS)
+    n_noise = niqe(noise, _PRIS)
+    assert np.isfinite(n_smooth) and np.isfinite(n_noise)
+    assert n_smooth < n_noise
+
+
+def test_compiled_stats_reports_flops():
+    from vmg_tpu.utils.profiling import compiled_stats
+
+    stats = compiled_stats(
+        lambda a, b: a @ b, jnp.ones((128, 256)), jnp.ones((256, 64))
+    )
+    # 2*M*N*K
+    assert abs(stats["flops"] - 2 * 128 * 256 * 64) / (2 * 128 * 256 * 64) < 0.1
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from vmg_tpu.ckpt.export import export_stablehlo, load_stablehlo
+    import flax.linen as nn
+
+    model = nn.Dense(8)
+    x = jnp.ones((2, 4))
+    params = model.init(jax.random.key(0), x)
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(model, params, (2, 4), path)
+    loaded = load_stablehlo(path)
+    got = loaded.call(x)
+    want = model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    from vmg_tpu.parallel.multihost import all_gather_host_values
+
+    out = all_gather_host_values([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(out).ravel()[-3:], [1, 2, 3])

@@ -78,10 +78,20 @@ def main():
             jax.random.key(0), jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
         )
 
-    fwd = jax.jit(lambda x: model.apply(params, x))
+    use_mirrors = cfg.dataset.use_mirrors
+    fwd = jax.jit(lambda x: model.apply(params, x, frames_mirror=use_mirrors))
 
     def forward_fn(clip_np):
-        return np.asarray(fwd(jnp.asarray(clip_np)))
+        x = jnp.asarray(clip_np)
+        if use_mirrors:
+            # mirror-extend the clip (reference data/REDS.py:203-205 /
+            # Tester mirrors protocol); the model reuses flipped forward
+            # flow for the backward direction (vmg.py:426-432)
+            x = jnp.concatenate([x, x[:, ::-1]], axis=1)
+        out = np.asarray(fwd(x))
+        if use_mirrors:
+            out = out[:, : out.shape[1] // 2]
+        return out
 
     evaluator = SlidingEvaluator(
         forward_fn,
@@ -94,9 +104,22 @@ def main():
         else cfg.dataset.name,
     )
 
-    clips = sorted(
-        d for d in os.listdir(lr_root) if os.path.isdir(os.path.join(lr_root, d))
-    )
+    def _find_clips(root):
+        """One- or two-level clip trees (REDS4: 000/; Vimeo: 00001/0001/)."""
+        out = []
+        for d in sorted(os.listdir(root)):
+            p = os.path.join(root, d)
+            if not os.path.isdir(p):
+                continue
+            subs = [s for s in sorted(os.listdir(p))
+                    if os.path.isdir(os.path.join(p, s))]
+            if subs:
+                out.extend(os.path.join(d, s) for s in subs)
+            else:
+                out.append(d)
+        return out
+
+    clips = _find_clips(lr_root)
     if args.max_clips:
         clips = clips[: args.max_clips]
 
@@ -125,6 +148,14 @@ def main():
                 if frame_idx in tested:
                     continue
                 tested.add(frame_idx)
+                if cfg.dataset.eval_mid_clip:
+                    # Vimeo protocol: score only the center frame (or the
+                    # two mirror centers), reference test_reds4.py:226-241
+                    if use_mirrors:
+                        if i not in (3, 10):
+                            continue
+                    elif i != len(indices) // 2:
+                        continue
                 output, target = out[i], gt_imgs[frame_idx]
                 oy = rgb2ycbcr_matlab(output)[..., 0]
                 ty = rgb2ycbcr_matlab(target)[..., 0]

@@ -81,6 +81,10 @@ class VMGNetworkConfig:
     m_scaling: float = 1.0
     if_local_fuse: bool = True
     channel_mixer: str = "rcab"
+    # TPU-only knob: rematerialize TAB blocks and the trajectory scan step
+    # in the backward pass (jax.checkpoint) -- trades FLOPs for the
+    # activation memory the training recipe needs (crop 256, T=16)
+    remat: bool = True
 
     def __post_init__(self):
         self.embed_dim = tuple(self.embed_dim)

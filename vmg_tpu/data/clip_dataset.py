@@ -99,7 +99,14 @@ class ClipDatasetBase:
 
 class REDSDataset(ClipDatasetBase):
     """Random T-frame window out of 100-frame REDS clips
-    (reference data/REDS.py:143-215)."""
+    (reference data/REDS.py:143-215).
+
+    When both backends are packed shards and the native library is built,
+    the gather+crop+augment+float-convert runs as one fused C++ pass
+    (vmg_tpu/data/native.py); the numpy path is the bit-identical fallback.
+    """
+
+    use_native: bool = True
 
     def __getitem__(self, index: int) -> Dict:
         rng = self._rng(index)
@@ -109,9 +116,49 @@ class REDSDataset(ClipDatasetBase):
         frames = list(range(start, start + self.num_frames))
         if self.cfg.random_reverse and rng.random() < 0.5:
             frames.reverse()
+
+        native = self._try_native(rng, key, frames)
+        if native is not None:
+            return native
+
         hr_list = [self.hr.read(f"{key}_{v}") for v in frames]
         lr_list = [self.lr.read(f"{key}_{v}") for v in frames]
         return self._finalize(rng, lr_list, hr_list, key)
+
+    def _try_native(self, rng, key, frames) -> Optional[Dict]:
+        from vmg_tpu.data.storage import PackedBackend
+
+        if not (self.use_native and isinstance(self.hr, PackedBackend)
+                and isinstance(self.lr, PackedBackend)):
+            return None
+        from vmg_tpu.data import native as natmod
+
+        if natmod.get_lib() is None:
+            return None
+        # identical rng draw order to the numpy path:
+        # crop (2 ints), then hflip/vflip/rot (3 floats)
+        H, W = self.lr.frame_shape[:2]
+        rnd_h = int(rng.integers(0, max(0, H - self.lr_crop) + 1))
+        rnd_w = int(rng.integers(0, max(0, W - self.lr_crop) + 1))
+        hflip = self.cfg.use_hflip and rng.random() < 0.5
+        vflip = self.cfg.use_vflip and rng.random() < 0.5
+        rot90 = self.cfg.use_rot and rng.random() < 0.5
+
+        lr_idx = [self.lr.index[f"{key}_{v}"] for v in frames]
+        hr_idx = [self.hr.index[f"{key}_{v}"] for v in frames]
+        lrs = natmod.assemble_clip(
+            self.lr._mm, self.lr.frame_shape, lr_idx, rnd_h, rnd_w,
+            self.lr_crop, self.lr_crop, hflip, vflip, rot90,
+        )
+        hrs = natmod.assemble_clip(
+            self.hr._mm, self.hr.frame_shape, hr_idx,
+            rnd_h * self.scale, rnd_w * self.scale,
+            self.hr_crop, self.hr_crop, hflip, vflip, rot90,
+        )
+        if self.cfg.use_mirrors:
+            lrs = np.concatenate([lrs, lrs[::-1]], axis=0)
+            hrs = np.concatenate([hrs, hrs[::-1]], axis=0)
+        return {"LRs": lrs, "HRs": hrs, "key": key}
 
 
 class VimeoDataset(ClipDatasetBase):
@@ -135,3 +182,22 @@ def create_dataset(cfg: DatasetConfig, scale: int = 4) -> ClipDatasetBase:
     if cfg.name == "REDS":
         return REDSDataset(cfg, scale)
     raise NotImplementedError(f"Dataset {cfg.name!r} is not recognized")
+
+
+class RepeatDataset:
+    """Virtually repeat a dataset N times (reference
+    mmedit/datasets/dataset_wrappers.py RepeatDataset)."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = times
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
+
+    def __len__(self):
+        return self.times * len(self.dataset)

@@ -97,7 +97,10 @@ class SlidingEvaluator:
                 patch = inputs[:, :, h_idx : h_idx + win_h, w_idx : w_idx + win_w]
                 out = np.asarray(self.forward_fn(patch), np.float32).copy()
                 mask = np.ones_like(out)
-                t = ov // 2 * s
+                # NOTE: the reference trims ov//2 pixels of the *SR-space*
+                # patch (Tester.py:128-139), i.e. only ov//(2*scale) LR
+                # pixels -- reproduced exactly
+                t = ov // 2
                 if h_idx < h_idx_list[-1]:
                     out[:, :, -t:, :] = 0
                     mask[:, :, -t:, :] = 0

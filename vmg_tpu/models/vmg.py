@@ -161,8 +161,10 @@ class MlpEncoderStage(nn.Module):
             flow_backward = _flow_smoothing(flow_backward, cfg.smooth_region_range)
 
         shortcut = x
+        tab_cls = (nn.remat(TAB, prevent_cse=False, static_argnums=(2,))
+                   if (cfg.remat and not deterministic) else TAB)
         for b in range(cfg.depths[li]):
-            x = TAB(
+            x = tab_cls(
                 dim=C,
                 chunk_h=chunk_h,
                 chunk_w=chunk_w,
@@ -217,6 +219,7 @@ class MlpEncoderStage(nn.Module):
                 r_scaling=cfg.r_scaling,
                 twins=tuple(cfg.twins),
                 ltam=cfg.ltam,
+                remat=cfg.remat and not deterministic,
                 name="traj_mixing",
             )(x, flow_forward, flow_backward)
         return x

@@ -84,3 +84,13 @@ def spynet_lr_schedule(train_cfg, flow_fix: Optional[int]):
         return jnp.where(step <= fix, 0.0, lr)
 
     return schedule
+
+
+def linear_decay(base_lr: float, total_iters: int, min_ratio: float = 0.0):
+    """Linear LR decay (reference mmedit/core/scheduler/lr_updater.py)."""
+
+    def schedule(step):
+        frac = jnp.clip(jnp.asarray(step, jnp.float32) / total_iters, 0.0, 1.0)
+        return base_lr * (1.0 - frac * (1.0 - min_ratio))
+
+    return schedule
