@@ -98,3 +98,21 @@ def test_ltam_decay_shape_and_monotonic():
     # newest slot = decay_v ** 1
     decay_v = 1 - 2.0 ** (-5 - np.arange(heads - 1, -1, -1))
     np.testing.assert_allclose(d[:, -1], decay_v, atol=1e-7)
+
+
+def test_grouped_conv_equals_feature_group_count(rng):
+    """GroupedConv3x3 (the TPU grouped-conv workaround) == nn.Conv with
+    feature_group_count, same params."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from vmg_tpu.models.blocks import GroupedConv3x3
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    mine = GroupedConv3x3(32, 4)
+    params = mine.init(jax.random.key(0), x)
+    ref = nn.Conv(32, (3, 3), padding=1, feature_group_count=4)
+    got = mine.apply(params, x)
+    want = ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

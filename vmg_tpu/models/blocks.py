@@ -111,6 +111,38 @@ class Mlp(nn.Module):
         return x
 
 
+class GroupedConv3x3(nn.Module):
+    """Grouped 3x3 conv computed as per-group convs.
+
+    XLA's TPU lowering of feature_group_count produced NaNs for the
+    stage-2 shape of the full model (groups=4, 224->1344 at 16x16) on
+    v5e; per-group lax convs are mathematically identical and avoid that
+    path.  Param layout matches nn.Conv(feature_group_count=g): kernel
+    (3, 3, Cin/g, Cout), bias (Cout,).
+    """
+
+    features: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, y):
+        N, H, W, C = y.shape
+        g = self.groups
+        kernel = self.param("kernel", torch_conv_kernel_init(),
+                            (3, 3, C // g, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        cg_out = self.features // g
+        outs = []
+        for gi in range(g):
+            outs.append(jax.lax.conv_general_dilated(
+                y[..., gi * (C // g):(gi + 1) * (C // g)],
+                kernel[..., gi * cg_out:(gi + 1) * cg_out],
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ))
+        return jnp.concatenate(outs, axis=-1) + bias
+
+
 class MlpCnn(nn.Module):
     """3x3 conv expand -> GELU -> linear project (reference Mlp_cnn:50).
 
@@ -126,7 +158,11 @@ class MlpCnn(nn.Module):
         B, T, H, W, C = x.shape
         hidden = int(self.dim * self.exp_r)
         y = x.reshape(B * T, H, W, C)
-        y = nn.Conv(hidden, (3, 3), padding=1, feature_group_count=self.n_groups, kernel_init=torch_conv_kernel_init(), name="fc1")(y)
+        if self.n_groups > 1:
+            y = GroupedConv3x3(hidden, self.n_groups, name="fc1")(y)
+        else:
+            y = nn.Conv(hidden, (3, 3), padding=1,
+                        kernel_init=torch_conv_kernel_init(), name="fc1")(y)
         y = gelu_exact(y)
         y = y.reshape(B, T, H, W, hidden)
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc2")(y)

@@ -69,24 +69,29 @@ class UpdownkeepSampling(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
+        # the projection runs in fp32 regardless of the compute dtype: the
+        # bf16 backward of this layer produced a NaN bias gradient on v5e
+        # (a reduction pathology), and these linears are a tiny cost
+        dense = nn.Dense(self.dim_out, kernel_init=trunc_normal_init(),
+                         dtype=jnp.float32, name="linear")
         if self.mode == "down":
             h, w = H // 2, W // 2
             y = x.reshape(B, T, h, 2, w, 2, C)  # (.., h, neih, w, neiw, C)
             y = y.transpose(0, 1, 2, 4, 5, 3, 6).reshape(B, T, h, w, 4 * C)
             y = TorchLayerNorm(4 * self.dim_in, name="norm")(y)
-            y = nn.Dense(self.dim_out, kernel_init=trunc_normal_init(), name="linear")(y)
+            y = dense(y)
         elif self.mode == "up":
             c4 = C // 4
             y = x.reshape(B, T, H, W, 2, 2, c4)  # (.., neiw, neih, c4)
             y = y.transpose(0, 1, 2, 5, 3, 4, 6).reshape(B, T, 2 * H, 2 * W, c4)
             y = TorchLayerNorm(self.dim_in // 4, name="norm")(y)
-            y = nn.Dense(self.dim_out, kernel_init=trunc_normal_init(), name="linear")(y)
+            y = dense(y)
         elif self.mode == "keep":
             y = TorchLayerNorm(self.dim_in, name="norm")(x)
-            y = nn.Dense(self.dim_out, kernel_init=trunc_normal_init(), name="linear")(y)
+            y = dense(y)
         else:
             raise ValueError(self.mode)
-        return y
+        return y.astype(x.dtype)
 
 
 class DCNv2PackFlowGuided(nn.Module):
