@@ -29,6 +29,9 @@ def main():
     p.add_argument("--lr-root", default=None, help="override LR root")
     p.add_argument("--gt-root", default=None, help="override GT root")
     p.add_argument("--max-clips", type=int, default=None)
+    p.add_argument("--topk", type=int, default=None,
+                   help="report the k best clips by PSNR "
+                        "(reference test_reds4.py select_topk)")
     args = p.parse_args()
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
@@ -48,6 +51,21 @@ def main():
     cfg = load_config(args.config, is_train=False)
     logger = setup_logger("base", cfg.path.output_dir, "eval")
     model = create_model(cfg.network, is_train=False)
+
+    if cfg.dataset.FLOPs:
+        from vmg_tpu.eval.flops import model_flops
+
+        h = cfg.dataset.image_shape[1] // cfg.scale
+        w = cfg.dataset.image_shape[2] // cfg.scale
+        fx = jnp.zeros((1, cfg.dataset.flops_num_frames, h, w, 3), jnp.float32)
+        fparams = jax.eval_shape(model.init, jax.random.key(0), fx)
+        # count on concrete params (cheap tiny init then re-lower is heavy;
+        # use abstract lowering via jit cost analysis on zeros)
+        import numpy as _np
+        concrete = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), fparams)
+        logger.info(f"FLOPs = {model_flops(model, concrete, fx) / 1e9:.2f} G "
+                    f"on (1, {cfg.dataset.flops_num_frames}, {h}, {w}, 3)")
 
     lr_root = args.lr_root or cfg.dataset.dataset_root
     if not lr_root:
@@ -126,6 +144,7 @@ def main():
     ds_psnr, ds_psnr_y = AverageMeter(), AverageMeter()
     ds_ssim, ds_ssim_y = AverageMeter(), AverageMeter()
     ds_fps = AverageMeter()
+    clip_scores = []
 
     for clip in clips:
         lr_imgs = read_seq_images(os.path.join(lr_root, clip))
@@ -184,6 +203,12 @@ def main():
         ds_psnr_y.update(c_psnr_y.average())
         ds_ssim.update(c_ssim.average())
         ds_ssim_y.update(c_ssim_y.average())
+        clip_scores.append((clip, c_psnr.average()))
+
+    if args.topk:
+        best = sorted(clip_scores, key=lambda kv: -kv[1])[: args.topk]
+        for rank, (clip, p_) in enumerate(best, 1):
+            logger.info(f"[top-{rank}] {clip}: PSNR {p_:.4f}")
 
     logger.info(
         f"[dataset] PSNR {ds_psnr.average():.4f} PSNR-Y {ds_psnr_y.average():.4f} "

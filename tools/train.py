@@ -31,6 +31,10 @@ def main():
                    help="override niter (smoke tests)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--max-retries", type=int, default=3,
+                   help="recover from transient device errors by restoring "
+                        "the latest checkpoint (failure recovery the "
+                        "reference lacks; SURVEY.md §5)")
     args = p.parse_args()
 
     if args.multihost:
@@ -101,6 +105,12 @@ def main():
     epoch = 0
     t_log = time.time()
     key = jax.random.key(cfg.train.manual_seed + 777)
+    # failure recovery: keep a host-side snapshot to restore from when no
+    # checkpoint has been written yet (the donated device state is gone
+    # after a failed step)
+    host_snapshot = jax.device_get(state)
+    snapshot_step = step
+    retries = 0
     while step < niter:
         dataset.set_epoch(epoch)
         if hasattr(loader.sampler, "set_epoch"):
@@ -112,9 +122,31 @@ def main():
             dev_batch = shard_batch(mesh, {
                 "LRs": batch["LRs"], "HRs": batch["HRs"]
             })
-            state, metrics = step_fn(state, dev_batch, sub)
+            try:
+                state, metrics = step_fn(state, dev_batch, sub)
+                loss = float(metrics["loss"])
+            except jax.errors.JaxRuntimeError as e:
+                retries += 1
+                logger.warning(f"device error at step {step} "
+                               f"(retry {retries}/{args.max_retries}): {e}")
+                if retries > args.max_retries:
+                    raise
+                ck = latest_step(ckpt_dir)
+                if ck is not None and ck >= snapshot_step:
+                    state = restore_checkpoint(ckpt_dir, host_snapshot, ck)
+                    step = int(ck)
+                    logger.warning(f"restored checkpoint step {ck}")
+                else:
+                    state = host_snapshot
+                    step = snapshot_step
+                    logger.warning(f"restored host snapshot step {step}")
+                state = replicate(mesh, state)
+                continue
             step += 1
-            meter.update(float(metrics["loss"]))
+            meter.update(loss)
+            if step % 1000 == 0:
+                host_snapshot = jax.device_get(state)
+                snapshot_step = step
             if step % cfg.logger.print_freq == 0:
                 dt = time.time() - t_log
                 logger.info(

@@ -85,6 +85,10 @@ class VMGNetworkConfig:
     # in the backward pass (jax.checkpoint) -- trades FLOPs for the
     # activation memory the training recipe needs (crop 256, T=16)
     remat: bool = True
+    # 'per_level' reruns SPyNet on every pyramid level (reference
+    # vmg.py:435-453 semantics); 'shared' computes level-0 flow once and
+    # average-pools it down (faster, near-identical fields) -- opt-in
+    flow_levels: str = "per_level"
 
     def __post_init__(self):
         self.embed_dim = tuple(self.embed_dim)

@@ -413,17 +413,24 @@ class VMG(nn.Module):
         spynet = SPyNet(name="spynet")
         flows_f, flows_b = [], []
         frames = xp.astype(jnp.float32)
+        shared = cfg.flow_levels == "shared"
         for i in range(cfg.num_enc_layers):
             h, w = Hp // (2 ** i), Wp // (2 ** i)
-            lv = adaptive_avg_pool2d(frames.reshape(B * T, Hp, Wp, C), h, w)
-            lv = lv.reshape(B, T, h, w, C)
-            src_fwd = lv[:, :-1].reshape(B * (T - 1), h, w, C)
-            src_bwd = lv[:, 1:].reshape(B * (T - 1), h, w, C)
-            fwd = spynet(src_bwd, src_fwd).reshape(B, T - 1, h, w, 2)
-            if frames_mirror:
-                bwd = fwd[:, ::-1]
+            if shared and i > 0:
+                # downsample the level-0 flow instead of rerunning SPyNet
+                # (flow values halve with resolution)
+                fwd = adaptive_avg_pool2d(flows_f[0], h, w) * (0.5 ** i)
+                bwd = adaptive_avg_pool2d(flows_b[0], h, w) * (0.5 ** i)
             else:
-                bwd = spynet(src_fwd, src_bwd).reshape(B, T - 1, h, w, 2)
+                lv = adaptive_avg_pool2d(frames.reshape(B * T, Hp, Wp, C), h, w)
+                lv = lv.reshape(B, T, h, w, C)
+                src_fwd = lv[:, :-1].reshape(B * (T - 1), h, w, C)
+                src_bwd = lv[:, 1:].reshape(B * (T - 1), h, w, C)
+                fwd = spynet(src_bwd, src_fwd).reshape(B, T - 1, h, w, 2)
+                if frames_mirror:
+                    bwd = fwd[:, ::-1]
+                else:
+                    bwd = spynet(src_fwd, src_bwd).reshape(B, T - 1, h, w, 2)
             flows_f.append(fwd)
             flows_b.append(bwd)
         return flows_f, flows_b
