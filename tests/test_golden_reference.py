@@ -175,3 +175,21 @@ def test_golden_full_seven_stage_mdsc(ref_vmg):
     )
     mine = create_model(cfg, is_train=False)
     _compare(ref, mine)
+
+
+def test_golden_mirrored_sequence(ref_vmg):
+    """The reference detects mirrored clips dynamically
+    (vmg.py:426-432) and reuses flipped forward flow; vmg_tpu takes the
+    static frames_mirror flag. Outputs must match on a mirrored clip."""
+    ref, mine = _build_pair(ref_vmg)
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_torch_state_dict(sd, strict=True))
+
+    rng = np.random.default_rng(7)
+    half = rng.random((1, 2, 64, 64, 3)).astype(np.float32)
+    x = np.concatenate([half, half[:, ::-1]], axis=1)  # mirrored T=4
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(mine.apply(params, jnp.asarray(x), frames_mirror=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
