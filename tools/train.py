@@ -35,6 +35,11 @@ def main():
                    help="recover from transient device errors by restoring "
                         "the latest checkpoint (failure recovery the "
                         "reference lacks; SURVEY.md §5)")
+    p.add_argument("--val-lr-root", default=None,
+                   help="LR clip tree for periodic validation every "
+                        "train.val_freq steps (EvalIterHook equivalent)")
+    p.add_argument("--val-gt-root", default=None)
+    p.add_argument("--val-clips", type=int, default=1)
     args = p.parse_args()
 
     if args.multihost:
@@ -99,6 +104,44 @@ def main():
                                num_replicas=jax.process_count(),
                                rank=jax.process_index())
 
+    # periodic validation (the reference's EvalIterHook,
+    # mmedit/core/evaluation/eval_hooks.py)
+    val_hook = None
+    if args.val_lr_root:
+        from vmg_tpu.edit.hooks import EvalIterHook
+        from vmg_tpu.eval import SlidingEvaluator, calculate_psnr
+        from vmg_tpu.eval.eval_utils import read_seq_images
+        from vmg_tpu.train.precision import cast_params_for_compute
+
+        eval_model = create_model(cfg.network, is_train=False,
+                                  dtype=amp_dtype)
+        val_fwd = jax.jit(lambda p, v: eval_model.apply(p, v))
+
+        def eval_fn(st):
+            p = cast_params_for_compute(
+                jax.device_get({"params": st.params["params"]}), amp_dtype
+            ) if cfg.train.amp else {"params": st.params["params"]}
+            ev = SlidingEvaluator(
+                lambda clip: np.asarray(val_fwd(p, jnp.asarray(clip))),
+                scale=cfg.scale, test_num_frames=cfg.network.num_frames,
+                overlapped_mode=0, spatial_wins=None,
+                overlapped_spatial_length=None, dataset_name="val",
+            )
+            clips = sorted(os.listdir(args.val_lr_root))[: args.val_clips]
+            psnrs = []
+            for clip in clips:
+                lr = read_seq_images(os.path.join(args.val_lr_root, clip))
+                gt = read_seq_images(os.path.join(args.val_gt_root, clip))
+                out = ev.evaluate(lr[: cfg.network.num_frames])
+                psnrs.append(np.mean([
+                    calculate_psnr(out[i], gt[i])
+                    for i in range(out.shape[0])
+                ]))
+            return {"val_psnr": float(np.mean(psnrs))}
+
+        val_hook = EvalIterHook(eval_fn, interval=cfg.train.val_freq,
+                                logger=logger)
+
     niter = args.max_steps or cfg.train.niter
     meter = AverageMeter()
     step = start_step
@@ -147,6 +190,8 @@ def main():
             if step % 1000 == 0:
                 host_snapshot = jax.device_get(state)
                 snapshot_step = step
+            if val_hook is not None:
+                val_hook.after_iter(step, state, {})
             if step % cfg.logger.print_freq == 0:
                 dt = time.time() - t_log
                 logger.info(

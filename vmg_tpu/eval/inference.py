@@ -128,6 +128,12 @@ class SlidingEvaluator:
 
     def _clip_starts(self, T: int) -> List[int]:
         stride = self.test_num_frames - self.overlapped_num_frames
+        if stride <= 0:
+            raise ValueError(
+                f"overlap {self.overlapped_num_frames} leaves no stride for "
+                f"clips of {self.test_num_frames} frames; reduce "
+                f"overlapped_mode"
+            )
         return list(range(0, T - self.test_num_frames, stride)) + [
             max(0, T - self.test_num_frames)
         ]
