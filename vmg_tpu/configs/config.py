@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 from fractions import Fraction
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import yaml
 

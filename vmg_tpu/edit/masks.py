@@ -4,7 +4,7 @@ bbox / irregular / free-form ("brush stroke") masks).  numpy host-side."""
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import cv2

@@ -11,11 +11,10 @@ mutating requires_grad.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from vmg_tpu.edit.registry import MODELS
 from vmg_tpu.eval.metrics import calculate_psnr, structural_similarity

@@ -11,8 +11,6 @@ Weights load from the OpenMMLab BasicVSR SPyNet checkpoint through
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

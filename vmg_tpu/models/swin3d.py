@@ -12,7 +12,7 @@ much better MXU shape than wt separate small attentions.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

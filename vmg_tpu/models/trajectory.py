@@ -29,8 +29,6 @@ on border padding (``trajectory.py:332-333``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Stage tails by ``temporal_type[i]`` (reference ``models/function.py:1341``):
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax
@@ -24,7 +24,6 @@ from vmg_tpu.configs.config import VMGNetworkConfig
 from vmg_tpu.models.blocks import (
     TAB,
     leaky_relu,
-    gelu_exact,
     torch_conv_kernel_init,
     trunc_normal_init,
 )

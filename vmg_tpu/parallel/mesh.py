@@ -13,7 +13,7 @@ replaces DistIterSampler rank sharding, ``data/data_sampler.py:88-99``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -4,7 +4,7 @@ torchrun process bootstrap)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import jax

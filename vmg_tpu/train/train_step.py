@@ -9,8 +9,7 @@ collectives (replaces the reference's DDP/NCCL, ``tools/Trainer.py:29-32``).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
