@@ -57,3 +57,34 @@ def test_multihost_helpers_single_process():
 
     out = all_gather_host_values([1.0, 2.0, 3.0])
     np.testing.assert_allclose(np.asarray(out).ravel()[-3:], [1, 2, 3])
+
+
+def test_scalar_logger_jsonl_and_tb(tmp_path):
+    """Scalar sink (reference tools/train.py:88-97,230-234 TB scalars):
+    JSONL always written; TB event files when use_tb=True."""
+    import json
+    from vmg_tpu.utils.scalars import ScalarLogger
+
+    d = str(tmp_path / "tb")
+    lg = ScalarLogger(d, use_tb=True)
+    lg.log(10, loss=0.5, lr=2e-4)
+    lg.log(20, loss=0.25, lr=1.9e-4, val_psnr=None)  # None skipped
+    lg.close()
+
+    lines = [json.loads(s) for s in
+             open(os.path.join(d, "scalars.jsonl")).read().splitlines()]
+    assert lines[0] == {"step": 10, "loss": 0.5, "lr": 2e-4}
+    assert lines[1]["step"] == 20 and "val_psnr" not in lines[1]
+    if lg.tb_active:
+        assert any(f.startswith("events.out.tfevents")
+                   for f in os.listdir(d))
+
+
+def test_scalar_logger_disabled_on_nonzero_rank(tmp_path):
+    from vmg_tpu.utils.scalars import make_scalar_logger
+
+    assert make_scalar_logger(str(tmp_path), True, enabled=False) is None
+    lg = make_scalar_logger(str(tmp_path), False, enabled=True)
+    lg.log(1, loss=1.0)
+    lg.close()
+    assert os.path.exists(os.path.join(tmp_path, "tb_logger", "scalars.jsonl"))

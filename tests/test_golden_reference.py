@@ -177,6 +177,60 @@ def test_golden_full_seven_stage_mdsc(ref_vmg):
     _compare(ref, mine)
 
 
+def test_golden_traj_win_partition(ref_vmg):
+    """traj_win < T temporal partitioning (reference trajectory.py:278-298
+    windows_partition/windows_merge, constructor flag if_win_par): module-
+    level golden vs the reference Trajectory_multi_head run with
+    if_win_par=True, traj_win=4 over a T=8 clip."""
+    import models.trajectory as ref_traj
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    torch.manual_seed(5)
+    C, T, H, W, tw = 8, 8, 16, 16, 4
+    ref = ref_traj.Trajectory_multi_head(
+        embed_dim=C, mode="wins", num_blocks=2, frame_stride=2,
+        traj_win=tw, head=2, en_field=False, head_scale=True,
+        feature_refine=None, r_scaling=0.1, twins=[2, 2],
+        if_win_par=True, ltam=True,
+    )
+    ref.eval()
+    sd = {f"encoder_layers.0.traj_mixing.{k}": v.clone()
+          for k, v in ref.state_dict().items()}
+    tree = convert_torch_state_dict(sd, strict=True)
+    traj_params = {"params": tree["params"]["encoder_layers0"]["traj_mixing"]}
+    traj_params = jax.tree.map(jnp.asarray, traj_params)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, T, H, W, C)).astype(np.float32)
+    ff = (rng.standard_normal((1, T - 1, H, W, 2)) * 1.5).astype(np.float32)
+    fb = (rng.standard_normal((1, T - 1, H, W, 2)) * 1.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(ff).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(fb).permute(0, 1, 4, 2, 3),
+        ).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+
+    mod = TrajectoryMultiHead(
+        embed_dim=C, num_blocks=2, keyframe_stride=2, head=2, mode="wins",
+        head_scale=True, r_scaling=0.1, twins=(2, 2), ltam=True, traj_win=tw,
+    )
+    got = np.asarray(mod.apply(traj_params, jnp.asarray(x), jnp.asarray(ff),
+                               jnp.asarray(fb)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-4)
+
+    # traj_win == T must be a no-op partition (the shipped-config case)
+    mod_full = TrajectoryMultiHead(
+        embed_dim=C, num_blocks=2, keyframe_stride=2, head=2, mode="wins",
+        head_scale=True, r_scaling=0.1, twins=(2, 2), ltam=True, traj_win=T,
+    )
+    out_full = mod_full.apply(traj_params, jnp.asarray(x), jnp.asarray(ff),
+                              jnp.asarray(fb))
+    assert np.isfinite(np.asarray(out_full)).all()
+
+
 def test_golden_mirrored_sequence(ref_vmg):
     """The reference detects mirrored clips dynamically
     (vmg.py:426-432) and reuses flipped forward flow; vmg_tpu takes the
@@ -192,4 +246,54 @@ def test_golden_mirrored_sequence(ref_vmg):
         want = ref(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
     want = np.transpose(want, (0, 1, 3, 4, 2))
     got = np.asarray(mine.apply(params, jnp.asarray(x), frames_mirror=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_golden_mirrored_training_batch(ref_vmg):
+    """TRAIN-mode mirror parity: with use_mirrors data the train step passes
+    frames_mirror=True statically; outputs must match the reference's
+    dynamic per-batch detection (vmg.py:426-432) with the model in train
+    mode (droppath 0 so train == deterministic numerics)."""
+    import dataclasses
+
+    torch.manual_seed(9)
+    common = dict(
+        embed_dim=[32, 32, 32], depths=[2, 2, 2], num_heads=[2, 4, 2],
+        num_frames=4, window_sizes=[(2, 4, 4), (2, 4, 4), (2, 4, 4)],
+        mlp_ratio=2, n_groups=1,
+    )
+    ref = ref_vmg.VMG(
+        **common, mdsc=False, if_concat=False, spynet_pretrained="stub",
+        image_size=[32, 32], is_train=True, drop_path_rate=0.0,
+        traj_win=[4, None], traj_keyframes_n=[2, None], traj_heads=[2, None],
+        temporal_type=[False, None], temporal_empty=True,
+        traj_res_n=[2, 0, 2], spatial_type=[False, False],
+        flow_smooth=True, smooth_region_range=4, retention_decay=True,
+        non_linear=True, gating=True, symm=True, symm_act="tanh",
+        relu_scale=True, relu_scale_norm=False, ffn_type="ffn_cnn",
+        mixer_type=["mlps", "mlps"], mixer_n=[None, None], r_scaling=0.1,
+        chunk_ratios=[1 / 4, 1 / 4], traj_mode="wins", twins=[2, 2],
+        traj_scale=True, traj_refine=None, m_scaling=1.0,
+        if_local_fuse=True, channel_mixer="rcab",
+    )
+    ref.train()
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_torch_state_dict(sd, strict=True))
+
+    from vmg_tpu.configs import TINY_TEST_PRESET
+    cfg = dataclasses.replace(TINY_TEST_PRESET, drop_path_rate=0.0,
+                              remat=False)
+    mine = create_model(cfg, is_train=True)
+
+    rng = np.random.default_rng(13)
+    half = rng.random((1, 2, 64, 64, 3)).astype(np.float32)
+    x = np.concatenate([half, half[:, ::-1]], axis=1)  # use_mirrors batch
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
+    assert ref.frames_mirror  # the reference detected the mirror
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(mine.apply(
+        params, jnp.asarray(x), frames_mirror=True, deterministic=False,
+        rngs={"droppath": jax.random.key(0)},
+    ))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -4,7 +4,7 @@
 Single entry point for 1..N chips and multi-host: parallelism comes from
 the device mesh, not process launchers.  Usage:
 
-    python tools/train.py --config configs/vmg_reds_few_levels.yml
+    python tools/train.py --config vmg_tpu/configs/presets/vmg_reds_few_levels.yml
     python tools/train.py --config ... --resume   # resume latest orbax step
 """
 
@@ -53,7 +53,11 @@ def main():
     from vmg_tpu.train import init_train_state, make_train_step
     from vmg_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch, replicate
     from vmg_tpu.ckpt import save_checkpoint, restore_checkpoint, latest_step
-    from vmg_tpu.utils import setup_logger, AverageMeter, set_random_seed, count_params
+    from vmg_tpu.utils import (
+        setup_logger, AverageMeter, set_random_seed, count_params,
+        make_scalar_logger,
+    )
+    from vmg_tpu.train.schedule import main_lr_schedule
 
     cfg = load_config(args.config, is_train=True)
     if args.batchsize:
@@ -63,6 +67,11 @@ def main():
     logger = setup_logger("base", exp_root, "train",
                           tofile=jax.process_index() == 0)
     set_random_seed(cfg.train.manual_seed)
+    # scalar sink: TB events (use_tb_logger) + scalars.jsonl, rank 0 only
+    # (reference tools/train.py:88-97,230-234)
+    scalars = make_scalar_logger(exp_root, cfg.logger.use_tb_logger,
+                                 enabled=jax.process_index() == 0)
+    lr_of = main_lr_schedule(cfg.train)
 
     mesh = make_mesh(cfg.mesh_shape)
     n_data = mesh.shape["data"]
@@ -93,9 +102,16 @@ def main():
             start_step = int(state.step)
             logger.info(f"resumed from step {start_step}")
 
+    # Reference grad-accumulation semantics (tools/train.py:155-162): the
+    # effective update batch is total_batch; each optimizer step consumes
+    # grad_acc loader draws of batch_size and averages their gradients.
+    # Here: buffer grad_acc host batches, concatenate to total_batch, and
+    # the jitted step scans microbatches of batch_size (peak device memory
+    # stays at the microbatch level).
     grad_acc = max(1, cfg.dataset.total_batch // cfg.dataset.batch_size) \
         if cfg.train.grad_acc else 1
-    raw_step = make_train_step(model, cfg.train, grad_acc=grad_acc, jit=False)
+    raw_step = make_train_step(model, cfg.train, grad_acc=grad_acc, jit=False,
+                               frames_mirror=cfg.dataset.use_mirrors)
     step_fn = make_sharded_train_step(raw_step, mesh)
     state = replicate(mesh, state)
 
@@ -154,11 +170,13 @@ def main():
     host_snapshot = jax.device_get(state)
     snapshot_step = step
     retries = 0
+    from vmg_tpu.data.loader import accumulate_batches
+
     while step < niter:
         dataset.set_epoch(epoch)
         if hasattr(loader.sampler, "set_epoch"):
             loader.sampler.set_epoch(epoch)
-        for batch in loader:
+        for batch in accumulate_batches(iter(loader), grad_acc):
             if step >= niter:
                 break
             key, sub = jax.random.split(key)
@@ -192,6 +210,9 @@ def main():
                 snapshot_step = step
             if val_hook is not None:
                 val_hook.after_iter(step, state, {})
+                if scalars and val_hook.latest and \
+                        step % val_hook.interval == 0:
+                    scalars.log(step, **val_hook.latest)
             if step % cfg.logger.print_freq == 0:
                 dt = time.time() - t_log
                 logger.info(
@@ -199,6 +220,14 @@ def main():
                     f"loss {meter.average():.5f} "
                     f"({cfg.logger.print_freq / dt:.2f} it/s)"
                 )
+                if scalars:
+                    scalars.log(
+                        step,
+                        loss=meter.average(),
+                        lr=lr_of(step),
+                        grad_norm=float(metrics["grad_norm"]),
+                        it_per_s=cfg.logger.print_freq / dt,
+                    )
                 meter.reset()
                 t_log = time.time()
             if step % cfg.logger.save_checkpoint_freq == 0 and \
@@ -210,6 +239,8 @@ def main():
     if jax.process_index() == 0:
         save_checkpoint(ckpt_dir, step, jax.device_get(state))
         logger.info(f"final checkpoint at step {step}")
+    if scalars:
+        scalars.close()
 
 
 if __name__ == "__main__":

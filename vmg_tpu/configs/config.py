@@ -96,6 +96,13 @@ class VMGNetworkConfig:
         self.num_heads = tuple(self.num_heads)
         self.window_sizes = tuple(tuple(w) for w in self.window_sizes)
         self.chunk_ratios = tuple(_frac(r) for r in self.chunk_ratios)
+        for f in ("traj_win", "traj_keyframes_n", "traj_heads",
+                  "temporal_type", "traj_res_n", "deform_groups",
+                  "max_res_scale", "spatial_type", "mixer_type", "mixer_n",
+                  "twins", "image_size"):
+            v = getattr(self, f)
+            if isinstance(v, list):
+                setattr(self, f, tuple(v))
         if len(self.embed_dim) != len(self.depths):
             raise ValueError("embed_dim and depths must have equal length")
         n_enc = len(self.depths) // 2 + 1

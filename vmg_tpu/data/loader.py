@@ -85,6 +85,30 @@ class PrefetchLoader:
             stop.set()
 
 
+def accumulate_batches(loader_iter, grad_acc: int):
+    """Group ``grad_acc`` consecutive loader batches into one update batch.
+
+    Reference grad-accumulation semantics (``tools/train.py:155-162``): one
+    optimizer update consumes ``grad_acc`` loader draws of ``batch_size``
+    samples, so the effective update batch is ``total_batch``.  The jitted
+    train step then scans microbatches of ``batch_size`` (peak device
+    memory stays at the microbatch level).  Trailing partial groups are
+    dropped, matching the reference's drop_last loader.
+    """
+    buf = []
+    for b in loader_iter:
+        buf.append(b)
+        if len(buf) == grad_acc:
+            if grad_acc == 1:
+                yield buf[0]
+            else:
+                yield {
+                    k: np.concatenate([x[k] for x in buf], axis=0)
+                    for k in ("LRs", "HRs")
+                }
+            buf = []
+
+
 def create_dataloader(dataset, dataset_cfg, sampler=None,
                       num_replicas: int = 1, rank: int = 0):
     """Factory mirroring the reference loader split: the global batch is

@@ -346,6 +346,13 @@ class TrajectoryMultiHead(nn.Module):
     r_scaling: float = 1.0
     twins: tuple = (2, 2)
     ltam: bool = True
+    # temporal window partition (reference trajectory.py:278-298
+    # windows_partition/windows_merge, gated there on the constructor-only
+    # ``if_win_par`` flag): when traj_win < T, the clip splits into T/traj_win
+    # independent windows batched together -- the recurrence, keyframe
+    # buffers, and LTAM all run per-window; cross-window flows are dropped
+    # exactly as the reference's ``flows[:, i:i+traj_win-1]`` slicing does.
+    traj_win: int | None = None
     # hoist key-logit computation out of the scan: measured slightly SLOWER
     # on v5e (loses the fused 2C gather and materializes the logits to
     # HBM), so off by default; kept for larger-K / multi-chip regimes
@@ -356,6 +363,26 @@ class TrajectoryMultiHead(nn.Module):
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
         """x: (B, T, H, W, C); flows: (B, T-1, H, W, 2)."""
+        B_in, T_in = x.shape[:2]
+        partitioned = (self.traj_win is not None and 0 < self.traj_win < T_in)
+        if partitioned:
+            tw = int(self.traj_win)
+            if T_in % tw != 0:
+                raise ValueError(
+                    f"traj_win={tw} must divide the clip length T={T_in} "
+                    "(reference trajectory.py:281 windows_partition)"
+                )
+            s = T_in // tw
+            x = x.reshape(B_in * s, tw, *x.shape[2:])
+            # window i keeps flows i .. i+tw-2; the flow crossing into the
+            # next window is dropped (reference trajectory.py:285-289)
+            widx = (np.arange(s)[:, None] * tw
+                    + np.arange(tw - 1)[None, :]).reshape(-1)
+            flows_forward = flows_forward[:, widx].reshape(
+                B_in * s, tw - 1, *flows_forward.shape[2:])
+            flows_backward = flows_backward[:, widx].reshape(
+                B_in * s, tw - 1, *flows_backward.shape[2:])
+
         B, T, H, W, C = x.shape
         K = -(-T // self.keyframe_stride)  # ceil
         hoisted = self.hoist_logits and self.ltam and self.mode == "wins"
@@ -443,4 +470,5 @@ class TrajectoryMultiHead(nn.Module):
             fused.reshape(B * T, H, W, 3 * C)
         )
         out = leaky_relu(out, 0.1)
-        return out.reshape(B, T, H, W, C)
+        # windows_merge (reference trajectory.py:294-298) is a pure reshape
+        return out.reshape(B_in, T_in, H, W, C)

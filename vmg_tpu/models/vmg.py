@@ -223,6 +223,7 @@ class MlpEncoderStage(nn.Module):
                 r_scaling=cfg.r_scaling,
                 twins=tuple(cfg.twins),
                 ltam=cfg.ltam,
+                traj_win=sp(cfg.traj_win),
                 remat=cfg.remat and not deterministic,
                 name="traj_mixing",
             )(x, flow_forward, flow_backward)

@@ -37,14 +37,25 @@ def make_train_step(
     grad_acc: int = 1,
     donate: bool = True,
     jit: bool = True,
+    frames_mirror: bool = False,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
-    batch: {'LRs': (B, T, h, w, 3), 'HRs': (B, T, 4h, 4w, 3)}.
-    With grad_acc > 1, B must be divisible by grad_acc; microbatches run
-    sequentially under lax.scan and gradients average -- the same global
-    batch semantics as the reference's accumulation loop
-    (``tools/train.py:155-162``).
+    batch: {'LRs': (B, T, h, w, 3), 'HRs': (B, T, 4h, 4w, 3)} where B is
+    the EFFECTIVE update batch (the reference's ``total_batch``).  With
+    grad_acc > 1, B must be divisible by grad_acc; microbatches of
+    B/grad_acc (= the reference's ``batch_size``) run sequentially under
+    lax.scan and gradients average -- one optimizer update per total_batch,
+    matching the reference's accumulation loop (``tools/train.py:155-162``)
+    while peak memory stays at the microbatch level.  The caller groups
+    loader draws to B via ``vmg_tpu.data.loader.accumulate_batches``.
+
+    ``frames_mirror``: set True when the dataset mirror-extends every clip
+    (``use_mirrors``): the backward flow reuses the flipped forward flow,
+    matching the reference's dynamic per-batch detection
+    (``models/vmg.py:426-432``) -- with use_mirrors the mirror property
+    holds for every sample by construction, so a static flag is exact and
+    saves the backward SPyNet pass.
     """
 
     def loss_fn(params, lrs, hrs, rng):
@@ -55,7 +66,8 @@ def make_train_step(
 
             params = cast_params_for_compute(params, jnp.bfloat16)
         out = model.apply(
-            params, lrs, deterministic=False, rngs={"droppath": rng}
+            params, lrs, deterministic=False, frames_mirror=frames_mirror,
+            rngs={"droppath": rng},
         )
         return total_loss(
             out, hrs,
