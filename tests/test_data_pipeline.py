@@ -99,3 +99,21 @@ def test_prefetch_loader_batches(packed_reds):
         assert b["LRs"].shape == (2, 4, 8, 8, 3)
         assert b["HRs"].shape == (2, 4, 32, 32, 3)
         assert b["LRs"].dtype == np.float32
+
+
+def test_loader_propagates_worker_errors():
+    """A worker exception must surface in the consumer, not hang the loop."""
+    import pytest
+    from vmg_tpu.data.loader import PrefetchLoader
+
+    class Broken:
+        def __getitem__(self, i):
+            raise FileNotFoundError(f"missing {i}")
+
+        def __len__(self):
+            return 4
+
+    loader = PrefetchLoader(Broken(), sampler=[0, 1], batch_size=2,
+                            num_workers=1)
+    with pytest.raises(FileNotFoundError):
+        list(iter(loader))

@@ -231,6 +231,67 @@ def test_golden_traj_win_partition(ref_vmg):
     assert np.isfinite(np.asarray(out_full)).all()
 
 
+def _decoder_layer_pair(ref_vmg, *, if_unfold, depth=2, C=8, heads=2,
+                        window=(2, 4, 4), seed=17):
+    """Reference swin_3d.DecoderLayer vs vmg_tpu DecoderLayer, converted."""
+    import models.swin_3d as ref_swin
+    from vmg_tpu.models.swin3d import DecoderLayer
+
+    torch.manual_seed(seed)
+    ref = ref_swin.DecoderLayer(
+        dim=C, input_resolution=heads, depth=depth, num_heads=heads,
+        window_size=list(window), shift_size=None, mlp_ratio=2.0,
+        qkv_bias=True, is_train=True, if_unfold=if_unfold,
+    )
+    ref.eval()
+    sd = {f"encoder_layers.0.traj_mixing.{k}": v.clone()
+          for k, v in ref.state_dict().items()}
+    tree = convert_torch_state_dict(sd, strict=True)
+    params = jax.tree.map(
+        jnp.asarray, {"params": tree["params"]["encoder_layers0"]["traj_mixing"]}
+    )
+    mine = DecoderLayer(dim=C, depth=depth, num_heads=heads,
+                        window_size=window, mlp_ratio=2.0, qkv_bias=True,
+                        if_unfold=if_unfold)
+    return ref, mine, params
+
+
+def test_golden_swin3d_unfold_kv(ref_vmg):
+    """attention_oo hard selection + unfold-KV branch (reference
+    swin_3d.py:254-301,729-756, constructor flag if_unfold): golden vs the
+    reference DecoderLayer built with if_unfold=True."""
+    ref, mine, params = _decoder_layer_pair(ref_vmg, if_unfold=True)
+    rng = np.random.default_rng(23)
+    D, H, W, C = 4, 8, 8, 8
+    x = rng.standard_normal((1, D, H, W, C)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 1, 4, 2, 3)).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(mine.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_golden_swin3d_flow_alignment(ref_vmg):
+    """flow-aligned residual (reference swin_3d.py:758-770,830-831):
+    golden vs the reference DecoderLayer called with flows."""
+    ref, mine, params = _decoder_layer_pair(ref_vmg, if_unfold=False, seed=19)
+    rng = np.random.default_rng(29)
+    D, H, W, C = 4, 8, 8, 8
+    x = rng.standard_normal((1, D, H, W, C)).astype(np.float32)
+    ff = (rng.standard_normal((1, D // 2, H, W, 2)) * 1.5).astype(np.float32)
+    fb = (rng.standard_normal((1, D // 2, H, W, 2)) * 1.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x).permute(0, 1, 4, 2, 3),
+            flow_f=torch.from_numpy(ff).permute(0, 1, 4, 2, 3),
+            flow_b=torch.from_numpy(fb).permute(0, 1, 4, 2, 3),
+        ).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(mine.apply(params, jnp.asarray(x),
+                                flow_f=jnp.asarray(ff), flow_b=jnp.asarray(fb)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_golden_mirrored_sequence(ref_vmg):
     """The reference detects mirrored clips dynamically
     (vmg.py:426-432) and reuses flipped forward flow; vmg_tpu takes the

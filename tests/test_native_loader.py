@@ -48,6 +48,43 @@ def test_native_matches_numpy_path(packed):
             assert a["LRs"].dtype == np.float32
 
 
+def test_get_batch_matches_per_clip(packed):
+    """assemble_batch (one fused call per shard) == stacked per-clip
+    samples, bit for bit, including mirror extension."""
+    import dataclasses
+
+    for mirrors in (False, True):
+        cfg = dataclasses.replace(packed, use_mirrors=mirrors)
+        ds = REDSDataset(cfg, scale=4)
+        ds.set_epoch(1)
+        got = ds.get_batch([0, 1, 0])
+        assert got is not None
+        singles = [ds[i] for i in (0, 1, 0)]
+        np.testing.assert_array_equal(
+            got["LRs"], np.stack([s["LRs"] for s in singles], 0))
+        np.testing.assert_array_equal(
+            got["HRs"], np.stack([s["HRs"] for s in singles], 0))
+        assert got["keys"] == [s["key"] for s in singles]
+
+
+def test_prefetch_loader_uses_batched_path(packed):
+    from vmg_tpu.data.loader import PrefetchLoader
+
+    ds = REDSDataset(packed, scale=4)
+    calls = []
+    orig = ds.get_batch
+
+    def spy(idxs):
+        calls.append(list(idxs))
+        return orig(idxs)
+
+    ds.get_batch = spy
+    loader = PrefetchLoader(ds, sampler=[0, 1], batch_size=2, num_workers=1)
+    batches = list(iter(loader))
+    assert len(batches) == 1 and calls == [[0, 1]]
+    assert batches[0]["LRs"].shape == (2, 3, 8, 8, 3)
+
+
 def test_assemble_clip_oob_raises(packed, rng):
     frames = (rng.random((2, 8, 8, 3)) * 255).astype(np.uint8)
     mm = np.ascontiguousarray(frames.reshape(-1))

@@ -101,10 +101,12 @@ _STAGE_RULES = [
     # swin3d tail
     (r"^traj_mixing\.blocks\.(\d+)\.norm([12])\.(weight|bias)$",
      r"traj_mixing/blocks\1/norm\2/{wb}"),
-    (r"^traj_mixing\.blocks\.(\d+)\.attn\.relative_position_bias_table$",
-     r"traj_mixing/blocks\1/attn/relative_position_bias_table"),
-    (r"^traj_mixing\.blocks\.(\d+)\.attn\.(q|kv|proj)\.(weight|bias)$",
-     r"traj_mixing/blocks\1/attn/\2/{kb}"),
+    (r"^traj_mixing\.blocks\.(\d+)\.(attn1?)\.relative_position_bias_table$",
+     r"traj_mixing/blocks\1/\2/relative_position_bias_table"),
+    (r"^traj_mixing\.blocks\.(\d+)\.(attn1?)\.(q|kv|proj)\.(weight|bias)$",
+     r"traj_mixing/blocks\1/\2/\3/{kb}"),
+    (r"^traj_mixing\.blocks\.(\d+)\.proj\.(weight|bias)$",
+     r"traj_mixing/blocks\1/proj/{kb}"),  # unfold-KV 2C->C fuse
     (r"^traj_mixing\.blocks\.(\d+)\.mlp\.(fc1|fc2)\.(weight|bias)$",
      r"traj_mixing/blocks\1/mlp/\2/{kb}"),
     # DCN alignment tail

@@ -111,11 +111,7 @@ class REDSDataset(ClipDatasetBase):
     def __getitem__(self, index: int) -> Dict:
         rng = self._rng(index)
         key = self.keys[index]
-        total = self.cfg.total_num_frames
-        start = int(rng.integers(0, total - self.num_frames + 1))
-        frames = list(range(start, start + self.num_frames))
-        if self.cfg.random_reverse and rng.random() < 0.5:
-            frames.reverse()
+        frames = self._sample_frames(rng)
 
         native = self._try_native(rng, key, frames)
         if native is not None:
@@ -125,27 +121,45 @@ class REDSDataset(ClipDatasetBase):
         lr_list = [self.lr.read(f"{key}_{v}") for v in frames]
         return self._finalize(rng, lr_list, hr_list, key)
 
-    def _try_native(self, rng, key, frames) -> Optional[Dict]:
+    def _native_available(self) -> bool:
         from vmg_tpu.data.storage import PackedBackend
 
         if not (self.use_native and isinstance(self.hr, PackedBackend)
                 and isinstance(self.lr, PackedBackend)):
-            return None
+            return False
         from vmg_tpu.data import native as natmod
 
-        if natmod.get_lib() is None:
-            return None
-        # identical rng draw order to the numpy path:
-        # crop (2 ints), then hflip/vflip/rot (3 floats)
+        return natmod.get_lib() is not None
+
+    def _sample_frames(self, rng) -> List[int]:
+        total = self.cfg.total_num_frames
+        start = int(rng.integers(0, total - self.num_frames + 1))
+        frames = list(range(start, start + self.num_frames))
+        if self.cfg.random_reverse and rng.random() < 0.5:
+            frames.reverse()
+        return frames
+
+    def _native_plan(self, rng, key, frames):
+        """(lr_idx, hr_idx, cy, cx, flags) with the SAME rng draw order as
+        the numpy path: crop (2 ints), then hflip/vflip/rot (3 floats)."""
         H, W = self.lr.frame_shape[:2]
         rnd_h = int(rng.integers(0, max(0, H - self.lr_crop) + 1))
         rnd_w = int(rng.integers(0, max(0, W - self.lr_crop) + 1))
         hflip = self.cfg.use_hflip and rng.random() < 0.5
         vflip = self.cfg.use_vflip and rng.random() < 0.5
         rot90 = self.cfg.use_rot and rng.random() < 0.5
-
+        flags = int(hflip) | (int(vflip) << 1) | (int(rot90) << 2)
         lr_idx = [self.lr.index[f"{key}_{v}"] for v in frames]
         hr_idx = [self.hr.index[f"{key}_{v}"] for v in frames]
+        return lr_idx, hr_idx, rnd_h, rnd_w, flags
+
+    def _try_native(self, rng, key, frames) -> Optional[Dict]:
+        if not self._native_available():
+            return None
+        from vmg_tpu.data import native as natmod
+
+        lr_idx, hr_idx, rnd_h, rnd_w, flags = self._native_plan(rng, key, frames)
+        hflip, vflip, rot90 = flags & 1, (flags >> 1) & 1, (flags >> 2) & 1
         lrs = natmod.assemble_clip(
             self.lr._mm, self.lr.frame_shape, lr_idx, rnd_h, rnd_w,
             self.lr_crop, self.lr_crop, hflip, vflip, rot90,
@@ -159,6 +173,41 @@ class REDSDataset(ClipDatasetBase):
             lrs = np.concatenate([lrs, lrs[::-1]], axis=0)
             hrs = np.concatenate([hrs, hrs[::-1]], axis=0)
         return {"LRs": lrs, "HRs": hrs, "key": key}
+
+    def get_batch(self, indices) -> Optional[Dict]:
+        """Assemble a whole batch in ONE native call per shard
+        (``assemble_batch``, OpenMP over clips) -- bit-identical to
+        stacking per-clip samples.  None -> caller falls back."""
+        if not self._native_available():
+            return None
+        from vmg_tpu.data import native as natmod
+
+        B = len(indices)
+        T = self.num_frames
+        lr_idx = np.empty((B, T), np.int64)
+        hr_idx = np.empty((B, T), np.int64)
+        lr_crops = np.zeros((B, 4), np.int64)
+        hr_crops = np.zeros((B, 4), np.int64)
+        keys = []
+        for b, index in enumerate(indices):
+            rng = self._rng(index)
+            key = self.keys[index]
+            frames = self._sample_frames(rng)
+            li, hi, cy, cx, flags = self._native_plan(rng, key, frames)
+            lr_idx[b], hr_idx[b] = li, hi
+            lr_crops[b] = (cy, cx, flags, 0)
+            hr_crops[b] = (cy * self.scale, cx * self.scale, flags, 0)
+            keys.append(key)
+        lrs = natmod.assemble_batch(self.lr._mm, self.lr.frame_shape,
+                                    lr_idx, lr_crops, self.lr_crop,
+                                    self.lr_crop)
+        hrs = natmod.assemble_batch(self.hr._mm, self.hr.frame_shape,
+                                    hr_idx, hr_crops, self.hr_crop,
+                                    self.hr_crop)
+        if self.cfg.use_mirrors:
+            lrs = np.concatenate([lrs, lrs[:, ::-1]], axis=1)
+            hrs = np.concatenate([hrs, hrs[:, ::-1]], axis=1)
+        return {"LRs": lrs, "HRs": hrs, "keys": keys}
 
 
 class VimeoDataset(ClipDatasetBase):

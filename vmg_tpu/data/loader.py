@@ -48,18 +48,28 @@ class PrefetchLoader:
         for bi, b in enumerate(batches):
             job_q.put((bi, b))
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def worker():
             while not stop.is_set():
                 try:
                     bi, idxs = job_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[i] for i in idxs]
-                batch = {
-                    "LRs": np.stack([s["LRs"] for s in samples], 0),
-                    "HRs": np.stack([s["HRs"] for s in samples], 0),
-                    "keys": [s["key"] for s in samples],
-                }
+                try:
+                    # batched native path: one fused C++ call per shard
+                    # (OpenMP over clips), bit-identical per-clip stacking
+                    batch = get_batch(idxs) if get_batch is not None else None
+                    if batch is None:
+                        samples = [self.dataset[i] for i in idxs]
+                        batch = {
+                            "LRs": np.stack([s["LRs"] for s in samples], 0),
+                            "HRs": np.stack([s["HRs"] for s in samples], 0),
+                            "keys": [s["key"] for s in samples],
+                        }
+                except BaseException as e:  # propagate to the consumer --
+                    # a swallowed worker error would hang the training loop
+                    batch = e
                 with lock:
                     results[bi] = batch
 
@@ -77,7 +87,10 @@ class PrefetchLoader:
                     ready = next_bi in results
                 if ready:
                     with lock:
-                        yield results.pop(next_bi)
+                        item = results.pop(next_bi)
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
                     next_bi += 1
                 else:
                     time.sleep(0.002)

@@ -87,3 +87,35 @@ def assemble_clip(mm: np.memmap, frame_shape, frame_indices, cy, cx, ch, cw,
     if rc != 0:
         raise ValueError("assemble_clip: crop out of bounds")
     return out
+
+
+def assemble_batch(mm: np.memmap, frame_shape, frame_indices: np.ndarray,
+                   crops: np.ndarray, ch: int, cw: int) -> Optional[np.ndarray]:
+    """Batched fused gather+crop+aug: B clips in one call (OpenMP over B).
+
+    frame_indices: (B, T) int64; crops: (B, 4) int64 rows of
+    (cy, cx, hflip | vflip<<1 | rot90<<2, 0).  Square crops required
+    (ch == cw) so rot90 keeps the batch shape uniform.  Returns
+    (B, T, ch, cw, C) float32, or None when the lib is missing.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert ch == cw, "assemble_batch requires square crops"
+    H, W, C = frame_shape
+    idx = np.ascontiguousarray(np.asarray(frame_indices, np.int64))
+    cr = np.ascontiguousarray(np.asarray(crops, np.int64))
+    B, T = idx.shape
+    assert cr.shape == (B, 4)
+    out = np.empty((B, T, ch, cw, C), np.float32)
+    rc = lib.assemble_batch(
+        mm.ctypes.data if hasattr(mm, "ctypes") else
+        ctypes.cast(mm, ctypes.c_void_p),
+        H, W, C,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), B, T,
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ch, cw,
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError("assemble_batch: crop out of bounds")
+    return out
