@@ -100,3 +100,38 @@ def test_linear_conversion_semantics(rng):
     got = dense.apply({"params": {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)}},
                       jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_ttvsr_pretrain_remap_surgery():
+    """Key surgery semantics of reference Trainer.py:317-353: backbone ->
+    align_t_down, stage-2 sub-index 0/1 -> source 4/5, align_t_up mirror."""
+    import numpy as np
+    from vmg_tpu.ckpt.torch_convert import remap_ttvsr_pretrain
+
+    sd = {
+        # plain stage-0 entry: accepted + mirrored to align_t_up
+        "backbone.layers.0.blk.w": np.float32(1.0),
+        # stage-2 entry whose value must come from source index 4
+        "backbone.layers.2.blk.0.w": np.float32(2.0),
+        "backbone.layers.2.blk.4.w": np.float32(4.0),
+        # stage-3 entry: accepted without mirroring (no 0/1 in k_l[2])
+        "backbone.layers.3.blk.w": np.float32(3.0),
+        # not in the target set: dropped
+        "backbone.other.9.blk.w": np.float32(9.0),
+    }
+    target = {
+        "align_t_down.layers.0.blk.w",
+        "align_t_down.layers.2.blk.0.w",
+        "align_t_down.layers.3.blk.w",
+    }
+    out = remap_ttvsr_pretrain(sd, target)
+    assert out["align_t_down.layers.0.blk.w"] == 1.0
+    assert out["align_t_up.layers.0.blk.w"] == 1.0
+    assert out["align_t_down.layers.2.blk.0.w"] == 4.0  # from source .4.
+    assert out["align_t_up.layers.2.blk.0.w"] == 4.0
+    assert out["align_t_down.layers.3.blk.w"] == 3.0
+    assert "align_t_up.layers.3.blk.w" not in out
+    assert not any("other" in k for k in out)
+    # current models expose no align_t_* keys -> empty result (reference
+    # runtime behavior with the snapshot's VMG)
+    assert remap_ttvsr_pretrain(sd, set()) == {}

@@ -125,3 +125,81 @@ def test_tensor2img():
     assert img.dtype == np.uint8
     assert img.shape == (4, 4, 3)
     assert img[0, 0, 2] == 255 and img[0, 0, 0] == 0  # BGR order
+
+
+def _vgg16_torch_features(x, sd, need):
+    """Plain-torch replica of torchvision vgg16.features for the golden
+    comparison (torchvision itself is not installed here)."""
+    import torch
+    import torch.nn.functional as F
+
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512, "M"]
+    feats = {}
+    i = 0
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    for c in plan:
+        if i > max(need):
+            break
+        if c == "M":
+            t = F.max_pool2d(t, 2, 2)
+            if i in need:
+                feats[i] = t
+            i += 1
+            continue
+        w = torch.from_numpy(sd[f"features.{i}.weight"])
+        b = torch.from_numpy(sd[f"features.{i}.bias"])
+        t = F.conv2d(t, w, b, padding=1)
+        if i in need:
+            feats[i] = t
+        i += 1
+        t = torch.relu(t)
+        if i in need:
+            feats[i] = t
+        i += 1
+    return {k: v.numpy().transpose(0, 2, 3, 1) for k, v in feats.items()}
+
+
+def test_perceptual_loss_vgg_features_golden(rng):
+    """PerceptualLoss VGG extractor matches a torch replica of
+    torchvision vgg16.features with the same (random) weights, and the
+    loss contract (percep, style) holds."""
+    import numpy as np
+    from vmg_tpu.edit.losses import PerceptualLoss
+
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512, "M"]
+    sd, i, cin = {}, 0, 3
+    for c in plan:
+        if c == "M":
+            i += 1
+            continue
+        sd[f"features.{i}.weight"] = (
+            rng.standard_normal((c, cin, 3, 3)).astype(np.float32) * 0.05)
+        sd[f"features.{i}.bias"] = rng.standard_normal(c).astype(np.float32) * 0.05
+        cin = c
+        i += 2
+
+    need = {3, 8, 15}  # relu1_2, relu2_2, relu3_3 torchvision indices
+    loss = PerceptualLoss(
+        layer_weights={k: 1.0 for k in need}, vgg_params=sd,
+        vgg_type="vgg16", use_input_norm=False, norm_img=False,
+        perceptual_weight=1.0, style_weight=0.5, criterion="l1",
+    )
+    x = rng.random((1, 32, 32, 3)).astype(np.float32)
+    mine = loss._features(x)
+    want = _vgg16_torch_features(x, sd, need)
+    for k in need:
+        np.testing.assert_allclose(np.asarray(mine[k]), want[k],
+                                   atol=2e-4, rtol=1e-3)
+
+    gt = rng.random((1, 32, 32, 3)).astype(np.float32)
+    percep, style = loss(x, gt)
+    assert percep is not None and style is not None
+    assert float(percep) > 0 and float(style) >= 0
+    p_self, s_self = loss(x, x)
+    assert abs(float(p_self)) < 1e-6 and abs(float(s_self)) < 1e-7
+
+    import pytest
+    with pytest.raises(ValueError):
+        PerceptualLoss(layer_weights={"3": 1.0}, vgg_params=None)

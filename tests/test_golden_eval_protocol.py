@@ -7,6 +7,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # reference-torch golden runs
 import torch
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -217,6 +217,58 @@ def _insert(tree: Dict, path: str, value: np.ndarray):
     node[parts[-1]] = value
 
 
+def remap_ttvsr_pretrain(
+    sd: Mapping[str, "np.ndarray"], target_keys
+) -> Dict[str, np.ndarray]:
+    """TTVSR partial-pretraining key surgery (reference
+    ``tools/Trainer.py:317-353`` load_model_with_pretraining).
+
+    Given a TTVSR checkpoint state_dict, rename ``backbone.*`` ->
+    ``align_t_down.*`` and keep only keys present in ``target_keys`` (the
+    model's trajectory-alignment params, ``Trainer.py:36-44``); for stage-2
+    entries the source sub-index remaps 0->4 / 1->5, and every accepted
+    key is duplicated to the mirror ``align_t_up.*`` path.  Triggered in
+    the reference when ``spynet is None`` and a pretrain_model is set
+    (``Trainer.py:35,228``).
+
+    NOTE: the snapshot's VMG has no ``align_t_*`` modules (only commented
+    code at ``models/vmg.py:470-478``), so against current models
+    ``target_keys`` is empty and this returns {} -- exactly the
+    reference's runtime behavior.  The surgery is kept for checkpoints of
+    the older TTVSR-derived architecture.
+    """
+    sd = strip_module_prefix({k: _np(v) for k, v in sd.items()})
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    target = set(target_keys)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("backbone"):
+            k = k.replace("backbone", "align_t_down", 1)
+        if k not in target:
+            continue
+        k_l = k.split(".")
+        if len(k_l) > 4 and "2" in k_l[2]:
+            if "0" in k_l[4]:
+                k_l[4] = "4"
+            elif "1" in k_l[4]:
+                k_l[4] = "5"
+            else:
+                continue
+            src = ".".join(k_l).replace("align_t_down", "backbone", 1)
+            if src not in sd:
+                continue
+            v = sd[src]
+            out[k] = v
+            out[k.replace("align_t_down", "align_t_up", 1)] = v
+        elif len(k_l) > 2 and ("0" in k_l[2] or "1" in k_l[2]):
+            out[k] = v
+            out[k.replace("align_t_down", "align_t_up", 1)] = v
+        else:
+            out[k] = v
+    return out
+
+
 def export_torch_state_dict(params, non_linear: bool = True,
                             channel_mixer: str = "rcab") -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_torch_state_dict`: a vmg_tpu param tree ->

@@ -152,21 +152,145 @@ class GANLoss:
         return loss if is_disc else self.loss_weight * loss
 
 
+# torchvision VGG `features` layer plans: channel counts with 'M' maxpools;
+# torch indexes convs/relus/pools sequentially, and mmedit keys features by
+# that index (reference perceptual_loss.py:44-50 vgg_type + layer slicing)
+_VGG_PLANS = {
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def _load_vgg_params(path_or_dict, vgg_type: str):
+    """{'features.N.weight'/'bias'} (torch OIHW, .npz or state_dict-like)
+    -> {N: (kernel HWIO, bias)} for the conv layers of the plan."""
+    import numpy as np
+
+    if isinstance(path_or_dict, str):
+        src = dict(np.load(path_or_dict))
+    else:
+        src = {k: np.asarray(v) for k, v in path_or_dict.items()}
+    src = {k[len("features."):] if k.startswith("features.") else k: v
+           for k, v in src.items()}
+    params = {}
+    i = 0
+    for c in _VGG_PLANS[vgg_type]:
+        if c == "M":
+            i += 1
+            continue
+        w = np.asarray(src[f"{i}.weight"], np.float32)
+        b = np.asarray(src[f"{i}.bias"], np.float32)
+        params[i] = (jnp.asarray(w.transpose(2, 3, 1, 0)), jnp.asarray(b))
+        i += 2  # conv + relu
+    return params
+
+
+def _vgg_features(x, params, vgg_type: str, layer_indices):
+    """x: (n, h, w, 3) in [0, 1] AFTER input norm.  Returns {idx: feat}."""
+    feats = {}
+    need = set(int(i) for i in layer_indices)
+    last = max(need)
+    i = 0
+    for c in _VGG_PLANS[vgg_type]:
+        if i > last:
+            break
+        if c == "M":
+            # torch MaxPool2d(2, 2) with floor; match via pad-free reduce
+            n, h, w, ch = x.shape
+            x = x[:, : h - h % 2, : w - w % 2]
+            x = x.reshape(n, (h // 2), 2, (w // 2), 2, ch).max(axis=(2, 4))
+            if i in need:
+                feats[i] = x
+            i += 1
+            continue
+        kern, bias = params[i]
+        x = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        if i in need:
+            feats[i] = x
+        i += 1
+        x = jax.nn.relu(x)
+        if i in need:
+            feats[i] = x
+        i += 1
+    return feats
+
+
+def _gram(x):
+    """(n, h, w, c) -> (n, c, c) / (c * h * w) (reference _gram_mat)."""
+    n, h, w, c = x.shape
+    f = x.reshape(n, h * w, c)
+    return jnp.einsum("npc,npd->ncd", f, f) / (c * h * w)
+
+
 @LOSSES.register_module()
 class PerceptualLoss:
-    """VGG feature-space loss (reference perceptual_loss.py).
+    """VGG feature-space perceptual + style loss (reference
+    ``mmedit/models/losses/perceptual_loss.py``), channels-last.
 
-    Requires pretrained VGG feature weights; this environment has no
-    network egress, so construction raises until weights are supplied via
-    ``vgg_params_path`` (a converted .npz of VGG16 conv weights).
+    Weights must be supplied (no network egress here): ``vgg_params`` is a
+    .npz path or a dict of torchvision-style ``features.N.weight/bias``
+    arrays.  ``layer_weights`` keys are torchvision ``features`` indices
+    (as str or int), e.g. {'34': 1.0} for vgg19 conv5_4 pre-relu... the
+    reference keys by the same indices.
     """
 
-    def __init__(self, layer_weights=None, vgg_params_path: Optional[str] = None,
-                 perceptual_weight=1.0, style_weight=0.0):
-        if vgg_params_path is None:
-            raise NotImplementedError(
+    def __init__(self, layer_weights, vgg_params, vgg_type: str = "vgg19",
+                 use_input_norm: bool = True, perceptual_weight: float = 1.0,
+                 style_weight: float = 0.0, norm_img: bool = True,
+                 criterion: str = "l1"):
+        if vgg_params is None:
+            raise ValueError(
                 "PerceptualLoss needs pretrained VGG weights; pass "
-                "vgg_params_path (no-egress environment cannot download them)"
+                "vgg_params (an .npz path or a features.N.weight dict) -- "
+                "this environment cannot download them"
             )
-        raise NotImplementedError("VGG feature extractor wiring lands in a "
-                                  "later milestone")
+        self.layer_weights = {int(k): float(v) for k, v in layer_weights.items()}
+        self.vgg_type = vgg_type
+        self.params = _load_vgg_params(vgg_params, vgg_type)
+        self.use_input_norm = use_input_norm
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.norm_img = norm_img
+        if criterion == "l1":
+            self.criterion = lambda a, b: jnp.mean(jnp.abs(a - b))
+        elif criterion == "mse":
+            self.criterion = lambda a, b: jnp.mean((a - b) ** 2)
+        else:
+            raise NotImplementedError(f"{criterion} criterion")
+
+    def _features(self, x):
+        if self.use_input_norm:
+            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        return _vgg_features(x, self.params, self.vgg_type,
+                             self.layer_weights.keys())
+
+    def __call__(self, x, gt):
+        """x, gt: (n, h, w, 3).  Returns (percep_loss, style_loss); each is
+        None when its weight is 0 (reference forward contract)."""
+        if self.norm_img:
+            x = (x + 1.0) * 0.5
+            gt = (gt + 1.0) * 0.5
+        fx = self._features(x)
+        fg = self._features(jax.lax.stop_gradient(gt))
+
+        percep = None
+        if self.perceptual_weight > 0:
+            percep = sum(
+                self.criterion(fx[k], fg[k]) * w
+                for k, w in self.layer_weights.items()
+            ) * self.perceptual_weight
+        style = None
+        if self.style_weight > 0:
+            style = sum(
+                self.criterion(_gram(fx[k]), _gram(fg[k])) * w
+                for k, w in self.layer_weights.items()
+            ) * self.style_weight
+        return percep, style
