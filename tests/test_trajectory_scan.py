@@ -40,13 +40,11 @@ def _unrolled_direction(params, frames, flows, stride, embed_dim, num_blocks,
             flow = flows[s]
             feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
             loc_slots = [flow_warp(l, flow, "nearest", "border") for l in loc_slots]
-            k = len(sparse)
             ltam = LTAM(embed_dim=embed_dim, head=heads, mode="wins",
-                        if_scale=True, twins=twins, max_keyframes=k)
+                        if_scale=True, twins=twins)
             feat_prop = ltam.apply(
                 ltam_params, lr, jnp.stack(index, 1), feat_prop,
                 jnp.stack(sparse, 1), jnp.stack(loc_slots, 1),
-                jnp.asarray(k, jnp.int32),
             )
             if s % stride == 0:
                 loc_slots.append(grid)

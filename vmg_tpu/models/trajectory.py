@@ -1,24 +1,29 @@
-"""Trajectory-aware bidirectional propagation (TTVSR-style) as a lax.scan.
+"""Trajectory-aware bidirectional propagation (TTVSR-style) as segmented
+lax.scans.
 
 Re-design of the reference's Python-loop recurrence
 (``models/trajectory.py:226-490`` Trajectory_multi_head,
-``:493-807`` LTAM_multi_head) for XLA:
+``:493-807`` LTAM_multi_head) for XLA, exploiting a property the reference
+never uses: **the keyframe-slot count at every step is statically known**
+(slots are appended at the fixed stride, ``trajectory.py:309-310``), so
+instead of one scan over T steps carrying max-size zero-padded buffers and
+masking invalid slots out of the attention, the recurrence splits into
+segments between keyframe appends:
 
-  * the T-step recurrence in each direction is ONE ``nn.scan`` body --
-    compile time is O(1) in T instead of an unrolled graph;
-  * the dynamically-growing keyframe buffers become fixed-size buffers of
-    K = ceil(T / keyframe_stride) slots plus a valid-count; invalid slots
-    are masked out of the attention with -1e9 logits;
-  * both directions share one scanned step module (weight sharing matches
-    the reference, which reuses ``resblocks``/``LTAM`` across passes);
-  * everything that does not depend on the recurrent state is HOISTED out
-    of the scan ('wins' mode): the tracked-location maps evolve only with
-    the flows, and the attention keys are the (static) keyframe input
-    features resampled at those locations -- so location tracking runs as
-    a cheap pre-scan and the cosine key logits are computed in one batched
-    einsum over all T steps.  Only the value resampling (keyframe outputs,
-    produced inside the recurrence), decay-bias softmax, and the weighted
-    sum remain in the scan body.
+  * within a segment the keyframe buffers are **scan constants** (appended
+    only at segment ends), carried outside the scan as exactly-c-slot
+    stacks -- no (B, K, H, W, C) buffer carry, no -1e9 slot masking, no
+    conditional buffer writes;
+  * each step gathers and attends over exactly the valid slots: for the
+    paper config (T=16, stride 3) that is 45 slot-resamplings per
+    direction instead of 96 -- a >2x cut in gather traffic, the profiled
+    bottleneck (NOTES_ROUND2: XLA TPU gather runs 25-30 GB/s);
+  * the RetNet temporal-decay exponent (count - slot) becomes a static
+    constant per segment;
+  * one shared step module (name ``step``) serves every segment and both
+    directions -- weight sharing matches the reference, which reuses
+    ``resblocks``/``LTAM`` across passes, and checkpoint key paths are
+    unchanged.
 
 Numerics notes: cosine features are L2-normalized over the full channel dim
 before the head split (reference ``trajectory.py:620-627``), the temporal
@@ -112,10 +117,11 @@ class LTAM(nn.Module):
     (K slots x twins window) keys with RetNet decay x learned relative
     position bias.  ``mode='max'``: per-head hard max over slots.
 
-    When ``key_logits`` is supplied ('wins' fast path), the index-buffer
-    resampling and cosine similarities were precomputed outside the scan;
-    only decay bias, masking, softmax, value gather, and the weighted sum
-    run here.
+    All K = sparse_buf.shape[1] slots are valid by construction (the
+    segmented recurrence passes exactly the appended keyframes), so the
+    decay exponent (count - slot) is the static (K - slot) and no slot
+    masking exists -- the reference reaches identical numerics through a
+    dynamically grown buffer list (``trajectory.py:553-560``).
     """
 
     embed_dim: int
@@ -123,67 +129,53 @@ class LTAM(nn.Module):
     mode: str = "wins"
     if_scale: bool = True
     twins: tuple = (2, 2)
-    max_keyframes: int = 4
 
     @nn.compact
-    def __call__(self, curr, index_buf, anchor, sparse_buf, loc, count,
-                 key_logits=None):
+    def __call__(self, curr, index_buf, anchor, sparse_buf, loc):
         """curr/anchor: (n,h,w,c); index/sparse bufs: (n,K,h,w,c);
-        loc: (n,K,h,w,2) absolute pixel coords; count: () int32 valid slots;
-        key_logits: optional (n, nWin, head, q_n, K*q_n) precomputed."""
+        loc: (n,K,h,w,2) absolute pixel coords."""
         n, h, w, c = curr.shape
-        K = self.max_keyframes
+        K = sparse_buf.shape[1]
         head = self.head
         d = c // head
 
         scale = (d ** -0.5) if (self.if_scale and self.mode == "wins") else 1.0
-        slot_valid = jnp.arange(K) < count  # (K,)
+
+        # both buffers share indices: one fused 2C gather (TPU gather cost
+        # is per-element but the fused form fuses surrounding ops better;
+        # measured faster than split)
+        both = jnp.concatenate([sparse_buf, index_buf], axis=-1)
+        samp = _loc_grid_sample(
+            both.reshape(n * K, h, w, 2 * c),
+            loc.reshape(n * K, h, w, 2), h, w,
+        ).reshape(n, K, h, w, 2 * c)
+        samp_sparse = samp[..., :c]
+        samp_index = samp[..., c:]
 
         if self.mode == "wins":
             wh, ww = self.twins
             q_n = wh * ww
 
-            if key_logits is None:
-                # both buffers share indices: one fused 2C gather (TPU
-                # gather cost is per-element but the fused form fuses
-                # surrounding ops better; measured faster than split)
-                both = jnp.concatenate([sparse_buf, index_buf], axis=-1)
-                samp = _loc_grid_sample(
-                    both.reshape(n * K, h, w, 2 * c),
-                    loc.reshape(n * K, h, w, 2), h, w,
-                ).reshape(n, K, h, w, 2 * c)
-                samp_sparse = samp[..., :c]
-                samp_index = samp[..., c:]
-                v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
-                                    h, w, head, d, wh, ww)
-                curr_n = _normalize(curr.astype(jnp.float32))
-                index_n = _normalize(samp_index.astype(jnp.float32))
-                q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
-                k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
-                logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
-                                    preferred_element_type=jnp.float32)
-            else:
-                samp_sparse = _loc_grid_sample(
-                    sparse_buf.reshape(n * K, h, w, c),
-                    loc.reshape(n * K, h, w, 2), h, w,
-                ).reshape(n, K, h, w, c)
-                v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
-                                    h, w, head, d, wh, ww)
-                logits = key_logits.astype(jnp.float32)
+            v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
+                                h, w, head, d, wh, ww)
+            curr_n = _normalize(curr.astype(jnp.float32))
+            index_n = _normalize(samp_index.astype(jnp.float32))
+            q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
+            k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
+            logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
 
-            # decay x learned relative position bias
+            # decay x learned relative position bias; exponent is static
             rpe = self.param("relative_pos_encoding", trunc_normal_init(),
                              (head, q_n, q_n))
             decay_v = 1.0 - 2.0 ** (-5.0 - jnp.arange(head - 1, -1, -1,
                                                       dtype=jnp.float32))
-            expo = (count - jnp.arange(K)).astype(jnp.float32)  # (K,)
+            expo = (K - jnp.arange(K)).astype(jnp.float32)  # (K,)
             slot_decay = jnp.power(decay_v[:, None], expo[None, :])
             pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
             pe = pe.reshape(head, q_n, K * q_n)
             logits = logits + pe[None, None]
 
-            key_mask = jnp.repeat(slot_valid, q_n)
-            logits = jnp.where(key_mask[None, None, None, None, :], logits, -1e9)
             attn = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v,
                              preferred_element_type=jnp.float32)
@@ -191,19 +183,11 @@ class LTAM(nn.Module):
             out = out.reshape(n, nh, nw, head, wh, ww, d)
             out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, c)
         elif self.mode == "max":
-            both = jnp.concatenate([sparse_buf, index_buf], axis=-1)
-            samp = _loc_grid_sample(
-                both.reshape(n * K, h, w, 2 * c), loc.reshape(n * K, h, w, 2),
-                h, w,
-            ).reshape(n, K, h, w, 2 * c)
-            samp_sparse = samp[..., :c]
-            samp_index = samp[..., c:]
             curr_n = _normalize(curr.astype(jnp.float32))
             index_n = _normalize(samp_index.astype(jnp.float32))
             qf = curr_n.reshape(n, h * w, head, d)
             kf = index_n.reshape(n, K, h * w, head, d)
             sim = jnp.einsum("bphd,bkphd->bpkh", qf, kf)
-            sim = jnp.where(slot_valid[None, None, :, None], sim, -1e9)
             corr_soft = sim.max(axis=2)
             corr_idx = sim.argmax(axis=2)
             vals = samp_sparse.reshape(n, K, h * w, head, d).astype(jnp.float32)
@@ -219,119 +203,45 @@ class LTAM(nn.Module):
 
 
 class _TrajStep(nn.Module):
-    """One recurrence step; nn.scan-ed over time, shared by both passes."""
+    """One recurrence step, nn.scan-ed over a constant-count segment.
+
+    The slot count c is derived from the shapes of the (scan-constant)
+    keyframe buffers, so ONE shared instance (name ``step``) serves every
+    segment and both directions.  c == 0 is the first step: no warp
+    history, no LTAM (reference ``trajectory.py:324-333`` i > 0 branch).
+    """
 
     embed_dim: int
     num_blocks: int
     r_scaling: float
-    max_keyframes: int
     ltam: bool
-    hoisted: bool
     ltam_cfg: dict
 
     @nn.compact
-    def __call__(self, carry, xs):
-        feat_prop, sparse_buf, index_buf, count = carry
+    def __call__(self, carry, xs, sparse_buf, index_buf):
+        feat_prop, loc = carry  # (B,H,W,C), (B,c,H,W,2)
         lr = xs["feat"]
         flow = xs["flow"]
-        loc = xs["loc"]  # (n, K, h, w, 2): location state at this step
-        nf = xs["not_first"]
-        kf = xs["kf"]
-        n, h, w, c = lr.shape
-        K = self.max_keyframes
+        B, H, W, C = lr.shape
+        c = loc.shape[1]
 
-        warped_prop = flow_warp(feat_prop, flow, "bilinear", "border")
-        feat_prop = jnp.where(nf > 0, warped_prop, feat_prop)
-
-        if self.ltam:
-            ltam_out = LTAM(
-                embed_dim=self.embed_dim,
-                max_keyframes=K,
-                **self.ltam_cfg,
-                name="LTAM",
-            )(lr, index_buf, feat_prop, sparse_buf, loc, count,
-              key_logits=xs.get("key_logits"))
-            feat_prop = jnp.where(nf > 0, ltam_out, feat_prop)
+        if c:  # steps after the first: warp history + attend
+            feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
+            flow_rep = jnp.broadcast_to(flow[:, None], (B, c, H, W, 2))
+            loc = flow_warp(
+                loc.reshape(B * c, H, W, 2), flow_rep.reshape(B * c, H, W, 2),
+                "nearest", "border",
+            ).reshape(B, c, H, W, 2)
+            if self.ltam:
+                feat_prop = LTAM(
+                    embed_dim=self.embed_dim, **self.ltam_cfg, name="LTAM",
+                )(lr, index_buf, feat_prop, sparse_buf, loc)
 
         feat_prop = ResidualBlocksWithInputConv(
             self.embed_dim, self.num_blocks, self.r_scaling, name="resblocks"
         )(jnp.concatenate([lr, feat_prop], axis=-1))
 
-        buf_sel = (jnp.arange(K) == count) & (kf > 0)
-        sparse_buf = jnp.where(buf_sel[None, :, None, None, None],
-                               feat_prop[:, None], sparse_buf)
-        if not self.hoisted:
-            index_buf = jnp.where(buf_sel[None, :, None, None, None],
-                                  lr[:, None], index_buf)
-        count = count + kf.astype(jnp.int32)
-
-        return (feat_prop, sparse_buf, index_buf, count), feat_prop
-
-
-def _location_prescan(flows, kf_flags, not_first, B, K, H, W):
-    """Evolve the tracked-location maps over time (no parameters).
-
-    flows: (T, B, H, W, 2) in processing order (step s uses flows[s]).
-    Returns (T, B, K, H, W, 2): the location state visible to LTAM at each
-    step (after warping, before the keyframe-slot append).
-    """
-    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    grid0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None, None],
-                             (B, K, H, W, 2)).astype(jnp.float32)
-
-    def step(carry, xs):
-        loc, count = carry
-        flow, nf, kf = xs
-        flow_rep = jnp.broadcast_to(flow[:, None], (B, K, H, W, 2))
-        warped = flow_warp(loc.reshape(B * K, H, W, 2),
-                           flow_rep.reshape(B * K, H, W, 2),
-                           "nearest", "border").reshape(B, K, H, W, 2)
-        loc = jnp.where(nf > 0, warped, loc)
-        ys = loc
-        sel = (jnp.arange(K) == count) & (kf > 0) & (nf > 0)
-        loc = jnp.where(sel[None, :, None, None, None], grid0, loc)
-        count = count + kf.astype(jnp.int32)
-        return (loc, count), ys
-
-    (_, _), locs = jax.lax.scan(
-        step, (grid0, jnp.asarray(0, jnp.int32)), (flows, not_first, kf_flags)
-    )
-    return locs
-
-
-def _precompute_key_logits(x_dir, locs, kf_steps, head, scale, twins):
-    """Batched cosine key logits for every step ('wins' mode).
-
-    x_dir: (T, B, H, W, C); locs: (T, B, K, H, W, 2); kf_steps: static
-    indices of keyframe steps (len K).  Returns (T, B, nWin, head, q_n,
-    K*q_n) in x_dir.dtype.
-    """
-    T, B, H, W, C = x_dir.shape
-    K = len(kf_steps)
-    wh, ww = twins
-    d = C // head
-
-    index_flat = _normalize(
-        x_dir[jnp.asarray(kf_steps)].astype(jnp.float32)
-    ).transpose(1, 0, 2, 3, 4).reshape(B * K, H, W, C)
-
-    def sample_one(loc_t):
-        return _loc_grid_sample(index_flat, loc_t.reshape(B * K, H, W, 2), H, W)
-
-    samp = jax.vmap(sample_one)(locs)  # (T, B*K, H, W, C), normalized values
-    k = samp.reshape(T * B, K, H, W, C)
-    k = _to_key_windows(k, T * B, K, H, W, head, d, wh, ww)
-
-    q = _normalize(x_dir.astype(jnp.float32)).reshape(T * B, H, W, C)
-    q = _to_query_windows(q, T * B, H, W, head, d, wh, ww)
-
-    logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
-    nwin = logits.shape[1]
-    return logits.reshape(T, B, nwin, head, wh * ww, K * wh * ww).astype(
-        x_dir.dtype
-    )
+        return (feat_prop, loc), feat_prop
 
 
 class TrajectoryMultiHead(nn.Module):
@@ -353,10 +263,6 @@ class TrajectoryMultiHead(nn.Module):
     # buffers, and LTAM all run per-window; cross-window flows are dropped
     # exactly as the reference's ``flows[:, i:i+traj_win-1]`` slicing does.
     traj_win: int | None = None
-    # hoist key-logit computation out of the scan: measured slightly SLOWER
-    # on v5e (loses the fused 2C gather and materializes the logits to
-    # HBM), so off by default; kept for larger-K / multi-chip regimes
-    hoist_logits: bool = False
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
 
@@ -384,8 +290,7 @@ class TrajectoryMultiHead(nn.Module):
                 B_in * s, tw - 1, *flows_backward.shape[2:])
 
         B, T, H, W, C = x.shape
-        K = -(-T // self.keyframe_stride)  # ceil
-        hoisted = self.hoist_logits and self.ltam and self.mode == "wins"
+        stride = self.keyframe_stride
 
         step_cls = nn.remat(_TrajStep, prevent_cse=False) if self.remat \
             else _TrajStep
@@ -393,15 +298,13 @@ class TrajectoryMultiHead(nn.Module):
             step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=0,
+            in_axes=(0, nn.broadcast, nn.broadcast),
             out_axes=0,
         )(
             embed_dim=self.embed_dim,
             num_blocks=self.num_blocks,
             r_scaling=self.r_scaling,
-            max_keyframes=K,
             ltam=self.ltam,
-            hoisted=hoisted,
             ltam_cfg=dict(
                 head=self.head,
                 mode=self.mode,
@@ -411,44 +314,42 @@ class TrajectoryMultiHead(nn.Module):
             name="step",
         )
 
-        steps = np.arange(T)
-        kf_steps = [int(s) for s in steps[steps % self.keyframe_stride == 0]]
-        kf_flags = jnp.asarray((steps % self.keyframe_stride) == 0, jnp.float32)
-        not_first = jnp.asarray(steps > 0, jnp.float32)
-        zero_flow = jnp.zeros((1, B, H, W, 2), jnp.float32)
-        d = C // self.head
-        scale = (d ** -0.5) if self.head_scale else 1.0
+        # segment boundaries: [0] alone (count 0), then runs of `stride`
+        # steps each ending at a keyframe step (count constant inside)
+        segments = [(0, 0)]
+        s = 1
+        while s < T:
+            nk = ((s - 1) // stride + 1) * stride  # next keyframe step >= s
+            e = min(nk, T - 1)
+            segments.append((s, e))
+            s = e + 1
 
-        def init_carry():
-            # with hoisted key logits the index buffer is never touched;
-            # keep a token array so the carry stays small
-            index_init = (jnp.zeros((1,), x.dtype) if hoisted
-                          else jnp.zeros((B, K, H, W, C), x.dtype))
-            return (
-                jnp.zeros((B, H, W, C), x.dtype),
-                jnp.zeros((B, K, H, W, C), x.dtype),
-                index_init,
-                jnp.asarray(0, jnp.int32),
-            )
+        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
+        grid0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None, None],
+                                 (B, 1, H, W, 2)).astype(jnp.float32)
 
         def run_direction(feats_dir, flows_dir):
-            """feats_dir: (T, B, H, W, C); flows_dir: (T, B, H, W, 2)."""
-            locs = _location_prescan(flows_dir, kf_flags, not_first,
-                                     B, K, H, W)
-            xs = {
-                "feat": feats_dir,
-                "flow": flows_dir,
-                "loc": locs,
-                "not_first": not_first,
-                "kf": kf_flags,
-            }
-            if hoisted:
-                xs["key_logits"] = _precompute_key_logits(
-                    feats_dir, locs, kf_steps, self.head, scale,
-                    tuple(self.twins),
-                )
-            _, ys = step(init_carry(), xs)
-            return ys
+            """feats_dir: (T, B, H, W, C); flows_dir: (T, B, H, W, 2)
+            (flows_dir[0] is zero; step s >= 1 warps with flows_dir[s])."""
+            feat_prop = jnp.zeros((B, H, W, C), x.dtype)
+            loc = jnp.zeros((B, 0, H, W, 2), jnp.float32)
+            sparse = jnp.zeros((B, 0, H, W, C), x.dtype)
+            index = jnp.zeros((B, 0, H, W, C), x.dtype)
+            outs = []
+            for a, b in segments:
+                xs = {"feat": feats_dir[a:b + 1], "flow": flows_dir[a:b + 1]}
+                (feat_prop, loc), ys = step((feat_prop, loc), xs,
+                                            sparse, index)
+                outs.append(ys)
+                if b % stride == 0:  # keyframe: append buffers + loc slot
+                    sparse = jnp.concatenate([sparse, ys[-1][:, None]], axis=1)
+                    index = jnp.concatenate(
+                        [index, feats_dir[b][:, None]], axis=1)
+                    loc = jnp.concatenate([loc, grid0], axis=1)
+            return jnp.concatenate(outs, axis=0)
+
+        zero_flow = jnp.zeros((1, B, H, W, 2), jnp.float32)
 
         # backward pass: frames T-1 .. 0, flow_backward[i] warps i+1 -> i
         feats_b = x[:, ::-1].transpose(1, 0, 2, 3, 4)
