@@ -10,16 +10,34 @@ unnecessary; outputs are seam-free and PSNR can only improve.  Compute is
 bf16 with fp32 flow (vmg_tpu.train.precision).
 
 Prints ONE JSON line.  The reference repo commits no machine-readable
-baseline (BASELINE.md), so ``vs_baseline`` stays null until a measured
-reference number exists.
+baseline (BASELINE.md), so ``vs_baseline`` compares against the measured
+throughput of the RUNNING reference torch model on this host's CPU at the
+same protocol (tools/measure_ref_baseline.py -> tools/ref_baseline.json;
+caveats in BASELINE.md: 1-core CPU host, fp32 torch vs bf16 TPU,
+full-frame favors the reference vs its own tiled loop).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _ref_baseline_fps():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "ref_baseline.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        # only accept the full-protocol measurement
+        if "180x320" in rec.get("metric", "") and "T=16" in rec["metric"]:
+            return float(rec["value"])
+    except Exception:
+        pass
+    return None
 
 
 def main():
@@ -65,12 +83,15 @@ def main():
     dt = time.time() - t0
     fps = T * reps * len(clips) / dt
 
+    ref_fps = _ref_baseline_fps()
     print(json.dumps({
         "metric": "REDS4 4x VSR throughput (full VMG, 180x320 full-frame, "
                   "T=16, bf16 serving)",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": None,
+        # x over the measured reference torch-CPU f/s at the same protocol
+        # (tools/ref_baseline.json; see BASELINE.md for caveats)
+        "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
     }))
 
 

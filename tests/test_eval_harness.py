@@ -109,3 +109,57 @@ def test_evaluate_uint8_roundtrip(rng):
     out = ev.evaluate(x)
     assert out.dtype == np.uint8
     assert out.shape == (6, 64, 64, 3)
+
+
+def test_tta_matches_reference_augment(rng):
+    """TTA flip/transpose == reference Tester.augment/augment_inverse
+    (tools/Tester.py:387-445), and the data_enhance path is exact for an
+    augmentation-equivariant model (here: bicubic-like zoom)."""
+    import numpy as np
+    from vmg_tpu.eval.inference import SlidingEvaluator
+
+    clip = rng.random((1, 3, 8, 10, 3)).astype(np.float32)
+
+    def ref_augment(c, hflip, vflip, rot90):
+        # reference semantics on (B, D, C, H, W); ours is channels-last
+        t = c.transpose(0, 1, 4, 2, 3)
+        if hflip:
+            t = t[..., ::-1]
+        if vflip:
+            t = t[..., ::-1, :]
+        if rot90:
+            t = t.transpose(0, 1, 2, 4, 3)
+        return np.ascontiguousarray(t).transpose(0, 1, 3, 4, 2)
+
+    for flags in [(True, True, False), (True, False, False),
+                  (False, True, True), (True, True, True)]:
+        ev = SlidingEvaluator(lambda x: x, scale=1, test_num_frames=3,
+                              overlapped_mode=0, spatial_wins=None,
+                              overlapped_spatial_length=None,
+                              data_enhance=True, tta_hflip=flags[0],
+                              tta_vflip=flags[1], tta_rot=flags[2])
+        np.testing.assert_array_equal(ev.augment(clip),
+                                      ref_augment(clip, *flags))
+        # augment_inverse is the same transform as augment (matching the
+        # reference, whose augment/augment_inverse are identical code,
+        # Tester.py:387-445); that inverts correctly only when rot is off
+        # or both flips are on -- single-flip + transpose does NOT
+        # self-invert, a latent reference quirk reproduced faithfully
+        if not flags[2] or (flags[0] and flags[1]):
+            np.testing.assert_array_equal(ev.augment(ev.augment(clip)), clip)
+
+    # data_enhance with an equivariant forward (2x nearest zoom): the
+    # augment -> forward -> inverse-augment pipeline returns the plain
+    # forward result exactly
+    def zoom2(x):
+        return np.repeat(np.repeat(x, 2, axis=2), 2, axis=3)
+
+    sq = (rng.random((3, 8, 8, 3)) * 255).astype(np.uint8)  # rot: H == W
+    ev = SlidingEvaluator(zoom2, scale=2, test_num_frames=3,
+                          overlapped_mode=0, spatial_wins=None,
+                          overlapped_spatial_length=None, data_enhance=True,
+                          dataset_name="val", tta_hflip=True,
+                          tta_vflip=True, tta_rot=True)
+    got = ev.evaluate(sq)
+    want = zoom2(sq[None].astype(np.float32))[0].astype(np.uint8)
+    np.testing.assert_array_equal(got, want)

@@ -129,6 +129,12 @@ class LTAM(nn.Module):
     mode: str = "wins"
     if_scale: bool = True
     twins: tuple = (2, 2)
+    # the key features (index_buf) are nearest-gathered and L2-normalize is
+    # per-pixel, so normalization commutes exactly with the gather (zeros
+    # padding maps 0 -> 0 either way); the segmented recurrence
+    # pre-normalizes the static index buffers once per segment instead of
+    # normalizing the gathered copy every step
+    keys_prenormalized: bool = False
 
     @nn.compact
     def __call__(self, curr, index_buf, anchor, sparse_buf, loc):
@@ -159,7 +165,8 @@ class LTAM(nn.Module):
             v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
                                 h, w, head, d, wh, ww)
             curr_n = _normalize(curr.astype(jnp.float32))
-            index_n = _normalize(samp_index.astype(jnp.float32))
+            index_n = (samp_index.astype(jnp.float32) if self.keys_prenormalized
+                       else _normalize(samp_index.astype(jnp.float32)))
             q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
             k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
             logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
@@ -184,7 +191,8 @@ class LTAM(nn.Module):
             out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, c)
         elif self.mode == "max":
             curr_n = _normalize(curr.astype(jnp.float32))
-            index_n = _normalize(samp_index.astype(jnp.float32))
+            index_n = (samp_index.astype(jnp.float32) if self.keys_prenormalized
+                       else _normalize(samp_index.astype(jnp.float32)))
             qf = curr_n.reshape(n, h * w, head, d)
             kf = index_n.reshape(n, K, h * w, head, d)
             sim = jnp.einsum("bphd,bkphd->bpkh", qf, kf)
@@ -234,7 +242,8 @@ class _TrajStep(nn.Module):
             ).reshape(B, c, H, W, 2)
             if self.ltam:
                 feat_prop = LTAM(
-                    embed_dim=self.embed_dim, **self.ltam_cfg, name="LTAM",
+                    embed_dim=self.embed_dim, **self.ltam_cfg,
+                    keys_prenormalized=True, name="LTAM",
                 )(lr, index_buf, feat_prop, sparse_buf, loc)
 
         feat_prop = ResidualBlocksWithInputConv(
@@ -344,8 +353,10 @@ class TrajectoryMultiHead(nn.Module):
                 outs.append(ys)
                 if b % stride == 0:  # keyframe: append buffers + loc slot
                     sparse = jnp.concatenate([sparse, ys[-1][:, None]], axis=1)
-                    index = jnp.concatenate(
-                        [index, feats_dir[b][:, None]], axis=1)
+                    # keys pre-normalized once here instead of per step
+                    kf_norm = _normalize(
+                        feats_dir[b].astype(jnp.float32)).astype(x.dtype)
+                    index = jnp.concatenate([index, kf_norm[:, None]], axis=1)
                     loc = jnp.concatenate([loc, grid0], axis=1)
             return jnp.concatenate(outs, axis=0)
 
