@@ -51,11 +51,32 @@ def test_grad_acc_matches_full_batch():
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5, atol=1e-6)
-    # the resulting parameter updates agree (fp reassociation tolerance)
+    # gradient-level equivalence (the real semantics check, linear in the
+    # grads so no optimizer amplification): mean of per-microbatch grads
+    # == full-batch grads
+    from vmg_tpu.train.loss import total_loss
+
+    def loss_fn(params, lrs, hrs):
+        out = state1.apply_fn(params, lrs, deterministic=False,
+                              rngs={"droppath": jax.random.key(0)})
+        return total_loss(out, hrs, eps=1e-12, if_aux=True, aux_ratio=0.005)
+
+    g_full = jax.grad(loss_fn)(state1.params, batch["LRs"], batch["HRs"])
+    g_half = [jax.grad(loss_fn)(state1.params, batch["LRs"][i:i + 1],
+                                batch["HRs"][i:i + 1]) for i in (0, 1)]
+    g_acc = jax.tree.map(lambda a, b: (a + b) / 2, *g_half)
+    gn = float(jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))), g_full, 0.0))
+    diff = float(jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: a - b, g_full, g_acc), 0.0))
+    assert diff / max(gn, 1e-12) < 1e-4, (diff, gn)
+    # post-AdamW params agree up to the rsqrt amplification of fp
+    # reassociation noise at step 1 (update magnitude ~lr = 1e-3)
     diffs = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), new1.params, new2.params
     )
-    assert max(jax.tree.leaves(diffs)) < 5e-5, (
+    assert max(jax.tree.leaves(diffs)) < 5e-4, (
         sorted(jax.tree.leaves(diffs))[-3:]
     )
 

@@ -250,6 +250,10 @@ class _TrajStep(nn.Module):
             self.embed_dim, self.num_blocks, self.r_scaling, name="resblocks"
         )(jnp.concatenate([lr, feat_prop], axis=-1))
 
+        # pin the carry dtype to the feature dtype: under mixed init (bf16
+        # input, fp32 params) the conv output promotes to fp32 and the
+        # scan would reject the carry
+        feat_prop = feat_prop.astype(lr.dtype)
         return (feat_prop, loc), feat_prop
 
 
