@@ -66,7 +66,7 @@ def main():
               mixer_type="mlps", mixer_n=None, mixer_scaling=1.0,
               channel_mixer="rcab")
     xtab = bf16(rng.random((1, T, H, W, C0), dtype=np.float32))
-    tabp = jax.jit(tab.init)(jax.random.key(2), xtab, True)
+    tabp = jax.jit(lambda k, v: tab.init(k, v, True))(jax.random.key(2), xtab)
     tabp = cast_params_for_compute(tabp, jnp.bfloat16)
     tab_fn = jax.jit(lambda p, v: tab.apply(p, v, True))
     out["tab_stage0_x8_ms"] = timed(tab_fn, tabp, xtab) * 8e3

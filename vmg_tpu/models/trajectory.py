@@ -339,16 +339,17 @@ class TrajectoryMultiHead(nn.Module):
 
         gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                               jnp.arange(W, dtype=jnp.float32), indexing="ij")
-        grid0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None, None],
-                                 (B, 1, H, W, 2)).astype(jnp.float32)
+        ident = jnp.stack([gx, gy], -1)[None, None]  # (1, 1, H, W, 2)
 
         def run_direction(feats_dir, flows_dir):
-            """feats_dir: (T, B, H, W, C); flows_dir: (T, B, H, W, 2)
+            """feats_dir: (T, N, H, W, C); flows_dir: (T, N, H, W, 2)
             (flows_dir[0] is zero; step s >= 1 warps with flows_dir[s])."""
-            feat_prop = jnp.zeros((B, H, W, C), x.dtype)
-            loc = jnp.zeros((B, 0, H, W, 2), jnp.float32)
-            sparse = jnp.zeros((B, 0, H, W, C), x.dtype)
-            index = jnp.zeros((B, 0, H, W, C), x.dtype)
+            N = feats_dir.shape[1]
+            grid0 = jnp.broadcast_to(ident, (N, 1, H, W, 2)).astype(jnp.float32)
+            feat_prop = jnp.zeros((N, H, W, C), x.dtype)
+            loc = jnp.zeros((N, 0, H, W, 2), jnp.float32)
+            sparse = jnp.zeros((N, 0, H, W, C), x.dtype)
+            index = jnp.zeros((N, 0, H, W, C), x.dtype)
             outs = []
             for a, b in segments:
                 xs = {"feat": feats_dir[a:b + 1], "flow": flows_dir[a:b + 1]}
@@ -366,6 +367,10 @@ class TrajectoryMultiHead(nn.Module):
 
         zero_flow = jnp.zeros((1, B, H, W, 2), jnp.float32)
 
+        # NOTE: batching the two (weight-shared, independent) directions
+        # through one 2B recurrence was tried and measured SLOWER on v5e
+        # (7.72 vs 8.48 f/s full-model: the chip is already saturated per
+        # step and the doubled working set hurts); they run sequentially.
         # backward pass: frames T-1 .. 0, flow_backward[i] warps i+1 -> i
         feats_b = x[:, ::-1].transpose(1, 0, 2, 3, 4)
         flows_b = jnp.concatenate(
