@@ -42,15 +42,19 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh):
-    """Wrap a train step with explicit shardings: state replicated, batch
-    sharded on data.  XLA inserts the gradient all-reduce over ICI."""
+def make_sharded_train_step(step_fn, mesh: Mesh, state_shardings=None):
+    """Wrap a train step with explicit shardings: batch sharded on
+    ``data``; state replicated by default, or sharded per
+    ``state_shardings`` (e.g. tensor-parallel weights from
+    ``vmg_tpu.parallel.tp.state_shardings``).  XLA emits the gradient
+    all-reduce (and any TP all-gathers) over ICI from the layouts."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    st = repl if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(repl, {"LRs": data, "HRs": data}, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, {"LRs": data, "HRs": data}, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )
 
