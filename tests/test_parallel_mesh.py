@@ -94,3 +94,21 @@ def test_param_shardings_rules():
     assert "tensor" not in str(sh["narrow_kernel"].spec)
     assert "tensor" not in str(sh["odd_wide"].spec)
     assert "tensor" not in str(sh["scalar"].spec)
+
+
+def test_sequence_sharded_forward_matches_single_device():
+    """T sharded over the data axis (sequence parallel): same output as
+    the replicated forward; cross-T ops (trajectory scan, wt>1 window
+    attention, SPyNet pairs, trilinear) are handled by GSPMD collectives."""
+    from vmg_tpu.parallel.seq import make_seq_sharded_forward, shard_clip_over_time
+
+    model = create_model(TINY_TEST_PRESET, is_train=False)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 8, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(params, x))
+
+    mesh = make_mesh((8, 1))
+    fwd = make_seq_sharded_forward(model, mesh)
+    got = np.asarray(fwd(replicate(mesh, params), shard_clip_over_time(mesh, x)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
