@@ -32,6 +32,9 @@ def main():
     p.add_argument("--topk", type=int, default=None,
                    help="report the k best clips by PSNR "
                         "(reference test_reds4.py select_topk)")
+    p.add_argument("--device-tiles", action="store_true",
+                   help="run the spatial tile loop on-device in one jitted "
+                        "call (no host round-trip per tile)")
     args = p.parse_args()
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
@@ -111,6 +114,28 @@ def main():
             out = out[:, : out.shape[1] // 2]
         return out
 
+    device_tiled_fn = None
+    if args.device_tiles and cfg.dataset.wins:
+        from vmg_tpu.eval.device_tiled import make_device_tiled_forward
+
+        lr_hw = (cfg.dataset.image_shape[1] // cfg.scale,
+                 cfg.dataset.image_shape[2] // cfg.scale)
+        dev_tiled = make_device_tiled_forward(
+            lambda p, patch: model.apply(p, patch,
+                                         frames_mirror=use_mirrors),
+            cfg.scale, tuple(cfg.dataset.wins),
+            cfg.dataset.overlapped_spatial_length, lr_hw,
+        )
+
+        def device_tiled_fn(clip_np):
+            x = jnp.asarray(clip_np)
+            if use_mirrors:
+                x = jnp.concatenate([x, x[:, ::-1]], axis=1)
+            out = np.asarray(dev_tiled(params, x))
+            if use_mirrors:
+                out = out[:, : out.shape[1] // 2]
+            return out
+
     evaluator = SlidingEvaluator(
         forward_fn,
         scale=cfg.scale,
@@ -120,6 +145,7 @@ def main():
         overlapped_spatial_length=cfg.dataset.overlapped_spatial_length,
         dataset_name="REDS" if cfg.dataset.name in ("REDS", "REDS4")
         else cfg.dataset.name,
+        device_tiled_fn=device_tiled_fn,
     )
 
     def _find_clips(root):

@@ -41,6 +41,7 @@ class SlidingEvaluator:
         tta_hflip: bool = True,
         tta_vflip: bool = True,
         tta_rot: bool = False,
+        device_tiled_fn: Optional[Callable] = None,
     ):
         self.forward_fn = forward_fn
         self.scale = scale
@@ -60,6 +61,10 @@ class SlidingEvaluator:
         self.dataset_name = dataset_name
         self.data_enhance = data_enhance
         self.tta = (tta_hflip, tta_vflip, tta_rot)
+        # optional jitted whole-frame tiled forward (the tile loop runs on
+        # device in one call -- vmg_tpu.eval.device_tiled); replaces the
+        # host tile loop when provided
+        self.device_tiled_fn = device_tiled_fn
         self.t_idx_list: List[int] = []
 
     # -- TTA (reference Tester.py:387-445; the flip/transpose transforms
@@ -122,6 +127,8 @@ class SlidingEvaluator:
     def _run_clip(self, clip: np.ndarray) -> np.ndarray:
         if self.overlapped_spatial_length is None or self.spatial_wins is None:
             return np.asarray(self.forward_fn(clip), np.float32)
+        if self.device_tiled_fn is not None:
+            return np.asarray(self.device_tiled_fn(clip), np.float32)
         return self.test_image(clip)
 
     # -- temporal sliding ----------------------------------------------
