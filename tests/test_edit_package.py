@@ -203,3 +203,44 @@ def test_perceptual_loss_vgg_features_golden(rng):
     import pytest
     with pytest.raises(ValueError):
         PerceptualLoss(layer_weights={"3": 1.0}, vgg_params=None)
+
+
+def test_random_down_sampling(rng):
+    from vmg_tpu.edit.pipelines import RandomDownSampling
+
+    gt = rng.random((48, 52, 3)).astype(np.float32)
+    # whole-image mode
+    out = RandomDownSampling(2.0, 3.0)({"gt": gt.copy(), "rng": rng})
+    assert 2.0 <= out["scale"] < 3.0
+    h_lr, w_lr = out["lq"].shape[:2]
+    assert out["gt"].shape[0] == round(h_lr * out["scale"])
+    # patch mode: lq is patch_size square, gt is round(patch*scale) square
+    out = RandomDownSampling(2.0, 3.0, patch_size=12)({"gt": gt.copy(),
+                                                       "rng": rng})
+    assert out["lq"].shape[:2] == (12, 12)
+    assert out["gt"].shape[0] == out["gt"].shape[1] == round(12 * out["scale"])
+
+
+def test_generate_heatmap_and_coordinate_cell(rng):
+    from vmg_tpu.edit.pipelines import (
+        GenerateHeatmap, GenerateCoordinateAndCell, make_coord,
+    )
+
+    res = {"landmark": [(8.0, 4.0), (2.0, 2.0)]}
+    out = GenerateHeatmap("landmark", ori_size=32, target_size=16,
+                          sigma=1.0)(res)
+    hm = out["heatmap"]
+    assert hm.shape == (16, 16, 2)
+    # peak at the scaled keypoint (8,4)*0.5 = (4,2): heatmap[y=2, x=4]
+    assert hm[2, 4, 0] == hm[..., 0].max() == 1.0
+
+    gt = rng.random((8, 6, 3)).astype(np.float32)
+    out = GenerateCoordinateAndCell(sample_quantity=10)({"gt": gt.copy(),
+                                                         "rng": rng})
+    assert out["coord"].shape == (10, 2) and out["cell"].shape == (10, 2)
+    assert out["gt"].shape == (10, 3)
+    np.testing.assert_allclose(out["cell"][0], [2 / 8, 2 / 6], atol=1e-6)
+    # coord grid bounds: pixel centers strictly inside [-1, 1]
+    full = make_coord((8, 6))
+    assert full.shape == (48, 2)
+    assert full.min() > -1.0 and full.max() < 1.0

@@ -281,3 +281,132 @@ class Collect:
         if meta:
             out["meta"] = meta
         return out
+
+
+@PIPELINES.register_module()
+class RandomDownSampling:
+    """Random-scale LQ synthesis from GT (reference
+    ``mmedit/datasets/pipelines/random_down_sampling.py:11-91``, the LIIF
+    arbitrary-scale recipe): pick scale in [scale_min, scale_max); either
+    resize the (floor-cropped) whole GT, or crop a (patch*scale) HR square
+    and resize it to patch_size.  Images are HWC numpy; resizing uses cv2
+    (the reference defaults to pillow bicubic -- kernels differ by <1e-2
+    in [0,1]; the vmg_tpu oracle-exact MATLAB bicubic lives in
+    ops.resize.imresize_matlab for exact-degradation needs)."""
+
+    def __init__(self, scale_min=1.0, scale_max=4.0, patch_size=None,
+                 interpolation="bicubic"):
+        assert scale_max >= scale_min
+        self.scale_min = scale_min
+        self.scale_max = scale_max
+        self.patch_size = patch_size
+        self.interpolation = interpolation
+
+    def _resize(self, img, wh):
+        import cv2
+        import math
+
+        flags = {"nearest": cv2.INTER_NEAREST, "bilinear": cv2.INTER_LINEAR,
+                 "bicubic": cv2.INTER_CUBIC, "area": cv2.INTER_AREA,
+                 "lanczos": cv2.INTER_LANCZOS4}
+        return cv2.resize(img, wh, interpolation=flags[self.interpolation])
+
+    def __call__(self, results):
+        import math
+
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        img = results["gt"]
+        scale = float(rng.uniform(self.scale_min, self.scale_max))
+        if self.patch_size is None:
+            h_lr = math.floor(img.shape[-3] / scale + 1e-9)
+            w_lr = math.floor(img.shape[-2] / scale + 1e-9)
+            img = img[: round(h_lr * scale), : round(w_lr * scale), :]
+            crop_lr, crop_hr = self._resize(img, (w_lr, h_lr)), img
+        else:
+            w_lr = self.patch_size
+            w_hr = round(w_lr * scale)
+            x0 = int(rng.integers(0, img.shape[-3] - w_hr))
+            y0 = int(rng.integers(0, img.shape[-2] - w_hr))
+            crop_hr = img[x0 : x0 + w_hr, y0 : y0 + w_hr, :]
+            crop_lr = self._resize(crop_hr, (w_lr, w_lr))
+        results["gt"] = crop_hr
+        results["lq"] = crop_lr
+        results["scale"] = scale
+        return results
+
+
+def make_coord(shape, ranges=None):
+    """Pixel-center coordinates in [-1, 1] (reference
+    ``pipelines/utils.py`` make_coord): (H*W, 2) row-major."""
+    seqs = []
+    for i, n in enumerate(shape):
+        lo, hi = (-1.0, 1.0) if ranges is None else ranges[i]
+        r = (hi - lo) / (2 * n)
+        seqs.append(lo + r + (2 * r) * np.arange(n, dtype=np.float64))
+    grid = np.stack(np.meshgrid(*seqs, indexing="ij"), axis=-1)
+    return grid.reshape(-1, len(shape)).astype(np.float32)
+
+
+@PIPELINES.register_module()
+class GenerateHeatmap:
+    """Gaussian keypoint heatmaps (reference generate_assistant.py:9-80)."""
+
+    def __init__(self, keypoint, ori_size, target_size, sigma=1.0):
+        ori = (ori_size, ori_size) if isinstance(ori_size, int) else ori_size[:2]
+        tgt = ((target_size, target_size) if isinstance(target_size, int)
+               else target_size[:2])
+        self.size_ratio = (tgt[0] / ori[0], tgt[1] / ori[1])
+        self.keypoint = keypoint
+        self.sigma = sigma
+        self.target_size = tgt
+
+    def _one(self, kp):
+        w, h = self.target_size
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        d2 = (gx - kp[0]) ** 2 + (gy - kp[1]) ** 2
+        return np.exp(-d2 / (2.0 * self.sigma * self.sigma))
+
+    def __call__(self, results):
+        kps = [(kp[0] * self.size_ratio[0], kp[1] * self.size_ratio[1])
+               for kp in results[self.keypoint]]
+        results["heatmap"] = np.stack([self._one(kp) for kp in kps], axis=2)
+        return results
+
+
+@PIPELINES.register_module()
+class GenerateCoordinateAndCell:
+    """SR coordinates + cell sizes for implicit-function decoding
+    (reference generate_assistant.py:83-168); numpy HWC convention:
+    'gt' flattens to (H*W, 3)."""
+
+    def __init__(self, sample_quantity=None, scale=None, target_size=None):
+        self.sample_quantity = sample_quantity
+        self.scale = scale
+        self.target_size = target_size
+
+    def __call__(self, results):
+        rng: np.random.Generator = results.get("rng", np.random.default_rng())
+        target_size = self.target_size
+        if "gt" in results:
+            crop_hr = results["gt"]
+            target_size = crop_hr.shape[:2]
+            results["gt"] = crop_hr.reshape(-1, crop_hr.shape[-1])
+        elif self.scale is not None and "lq" in results:
+            h_lr, w_lr = results["lq"].shape[:2]
+            target_size = (round(h_lr * self.scale), round(w_lr * self.scale))
+        else:
+            assert target_size is not None and len(target_size) >= 2
+        hr_coord = make_coord(target_size[-2:])
+
+        if self.sample_quantity is not None and "gt" in results:
+            sel = rng.choice(len(hr_coord), self.sample_quantity,
+                             replace=False)
+            hr_coord = hr_coord[sel]
+            results["gt"] = results["gt"][sel]
+
+        cell = np.ones_like(hr_coord)
+        cell[:, 0] *= 2.0 / target_size[-2]
+        cell[:, 1] *= 2.0 / target_size[-1]
+        results["coord"] = hr_coord
+        results["cell"] = cell
+        return results
