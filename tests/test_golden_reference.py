@@ -294,6 +294,57 @@ def test_golden_swin3d_flow_alignment(ref_vmg):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_golden_en_field_max_mode(ref_vmg):
+    """en_field multi-scale keyframe buffers (reference trajectory.py
+    :367-379 s2/s3 construction + forward_max:651-667 fusion), mode='max'
+    -- module-level golden vs Trajectory_multi_head(en_field=True)."""
+    import models.trajectory as ref_traj
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    torch.manual_seed(21)
+    C, T, H, W = 8, 6, 16, 16
+    ref = ref_traj.Trajectory_multi_head(
+        embed_dim=C, mode="max", num_blocks=2, stride=4, frame_stride=2,
+        traj_win=T, head=2, en_field=True, head_scale=False,
+        feature_refine=None, r_scaling=0.1, twins=[2, 2], ltam=True,
+    )
+    ref.eval()
+    sd = {f"encoder_layers.0.traj_mixing.{k}": v.clone()
+          for k, v in ref.state_dict().items()}
+    tree = convert_torch_state_dict(sd, strict=True)
+    params = jax.tree.map(
+        jnp.asarray, {"params": tree["params"]["encoder_layers0"]["traj_mixing"]}
+    )
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((1, T, H, W, C)).astype(np.float32)
+    ff = (rng.standard_normal((1, T - 1, H, W, 2)) * 1.5).astype(np.float32)
+    fb = (rng.standard_normal((1, T - 1, H, W, 2)) * 1.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(ff).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(fb).permute(0, 1, 4, 2, 3),
+        ).numpy()
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+
+    mod = TrajectoryMultiHead(
+        embed_dim=C, num_blocks=2, keyframe_stride=2, head=2, mode="max",
+        head_scale=False, r_scaling=0.1, twins=(2, 2), ltam=True,
+        en_field=True, field_stride=4,
+    )
+    got = np.asarray(mod.apply(params, jnp.asarray(x), jnp.asarray(ff),
+                               jnp.asarray(fb)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # 'wins' + en_field is a latent crash in the reference; we raise clearly
+    bad = TrajectoryMultiHead(embed_dim=C, num_blocks=1, keyframe_stride=2,
+                              head=2, mode="wins", ltam=True, en_field=True)
+    with pytest.raises(NotImplementedError):
+        bad.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(ff),
+                 jnp.asarray(fb))
+
+
 def test_golden_mirrored_sequence(ref_vmg):
     """The reference detects mirrored clips dynamically
     (vmg.py:426-432) and reuses flipped forward flow; vmg_tpu takes the

@@ -96,6 +96,8 @@ _STAGE_RULES = [
     (r"^traj_mixing\.fusion\.(weight|bias)$", r"traj_mixing/fusion/{kb}"),
     (r"^traj_mixing\.LTAM\.proj\.(weight|bias)$",
      r"traj_mixing/step/LTAM/proj/{kb}"),
+    (r"^traj_mixing\.LTAM\.fusion\.(weight|bias)$",  # en_field s1/s2/s3 fuse
+     r"traj_mixing/step/LTAM/fusion/{kb}"),
     (r"^traj_mixing\.LTAM\.relative_pos_encoding$",
      r"traj_mixing/step/LTAM/relative_pos_encoding"),
     # swin3d tail

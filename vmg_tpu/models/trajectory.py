@@ -95,6 +95,25 @@ def _loc_grid_sample(x, loc, h, w, mode="nearest"):
                        padding_mode="zeros")
 
 
+def _field_context(feat, stride: int, ratio: float):
+    """Multi-scale context feature for en_field keyframe buffers
+    (reference trajectory.py:367-379): per stride-aligned patch grid, take
+    the surrounding int(ratio*stride) patch (the reference's
+    unfold->fold-to-(ratio*h, ratio*w)) and adaptive-average-pool back to
+    (h, w).  feat: (N, H, W, C) with H % stride == W % stride == 0."""
+    from vmg_tpu.ops.resize import adaptive_avg_pool2d
+
+    N, H, W, C = feat.shape
+    k = int(ratio * stride)
+    pad = (k - stride) // 2
+    nh, nw = H // stride, W // stride
+    xp = jnp.pad(feat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    rows = (np.arange(nh)[:, None] * stride + np.arange(k)[None, :]).reshape(-1)
+    cols = (np.arange(nw)[:, None] * stride + np.arange(k)[None, :]).reshape(-1)
+    y = xp[:, rows][:, :, cols]  # (N, nh*k = ratio*H, nw*k, C)
+    return adaptive_avg_pool2d(y, H, W)
+
+
 def _to_key_windows(v, n, K, h, w, head, ch, wh, ww):
     """(n, K, h, w, head*ch) -> (n, nWin, head, K*wh*ww, ch), slot-major."""
     nh, nw = h // wh, w // ww
@@ -135,28 +154,46 @@ class LTAM(nn.Module):
     # pre-normalizes the static index buffers once per segment instead of
     # normalizing the gathered copy every step
     keys_prenormalized: bool = False
+    # en_field multi-scale keyframe buffers (reference trajectory.py
+    # forward_max s2/s3 path): only mode='max' supports them -- the
+    # reference's 'wins' + en_field path crashes on an undefined variable
+    # (trajectory.py:782 ``mid_r``), reproduced as an explicit error
+    en_field: bool = False
 
     @nn.compact
-    def __call__(self, curr, index_buf, anchor, sparse_buf, loc):
+    def __call__(self, curr, index_buf, anchor, sparse_buf, loc,
+                 sparse_s2=None, sparse_s3=None):
         """curr/anchor: (n,h,w,c); index/sparse bufs: (n,K,h,w,c);
-        loc: (n,K,h,w,2) absolute pixel coords."""
+        loc: (n,K,h,w,2) absolute pixel coords; sparse_s2/s3: optional
+        en_field context buffers (n,K,h,w,c)."""
         n, h, w, c = curr.shape
         K = sparse_buf.shape[1]
         head = self.head
         d = c // head
 
+        if self.en_field and self.mode == "wins":
+            raise NotImplementedError(
+                "en_field with mode='wins' is a latent crash in the "
+                "reference (trajectory.py:782 uses undefined mid_r); "
+                "use mode='max'"
+            )
+
         scale = (d ** -0.5) if (self.if_scale and self.mode == "wins") else 1.0
 
-        # both buffers share indices: one fused 2C gather (TPU gather cost
+        # all buffers share indices: one fused wide gather (TPU gather cost
         # is per-element but the fused form fuses surrounding ops better;
         # measured faster than split)
-        both = jnp.concatenate([sparse_buf, index_buf], axis=-1)
+        parts = [sparse_buf, index_buf]
+        if self.en_field and sparse_s2 is not None:
+            parts += [sparse_s2, sparse_s3]
+        both = jnp.concatenate(parts, axis=-1)
+        nc = both.shape[-1]
         samp = _loc_grid_sample(
-            both.reshape(n * K, h, w, 2 * c),
+            both.reshape(n * K, h, w, nc),
             loc.reshape(n * K, h, w, 2), h, w,
-        ).reshape(n, K, h, w, 2 * c)
+        ).reshape(n, K, h, w, nc)
         samp_sparse = samp[..., :c]
-        samp_index = samp[..., c:]
+        samp_index = samp[..., c:2 * c]
 
         if self.mode == "wins":
             wh, ww = self.twins
@@ -202,7 +239,25 @@ class LTAM(nn.Module):
             gathered = jnp.take_along_axis(
                 vals, corr_idx[:, None, :, :, None], axis=1
             )[:, 0]
-            out = (gathered * corr_soft[..., None]).reshape(n, h, w, c)
+            if self.en_field and sparse_s2 is not None:
+                # hard-select the same argmax slot from the context scales
+                # and fuse [s1, s2, s3] before the corr_soft scaling
+                # (reference forward_max:651-667)
+                outs = [gathered.reshape(n, h, w, c)]
+                for j in range(2):
+                    vj = samp[..., (2 + j) * c : (3 + j) * c]
+                    vj = vj.reshape(n, K, h * w, head, d).astype(jnp.float32)
+                    gj = jnp.take_along_axis(
+                        vj, corr_idx[:, None, :, :, None], axis=1)[:, 0]
+                    outs.append(gj.reshape(n, h, w, c))
+                fused = nn.Conv(self.embed_dim, (1, 1),
+                                kernel_init=torch_conv_kernel_init(),
+                                name="fusion")(
+                    jnp.concatenate(outs, axis=-1))
+                out = fused * corr_soft.reshape(n, h, w, head)[
+                    ..., :, None].repeat(d, axis=-1).reshape(n, h, w, c)
+            else:
+                out = (gathered * corr_soft[..., None]).reshape(n, h, w, c)
         else:
             raise ValueError(f"unknown LTAM mode {self.mode!r}")
 
@@ -226,7 +281,8 @@ class _TrajStep(nn.Module):
     ltam_cfg: dict
 
     @nn.compact
-    def __call__(self, carry, xs, sparse_buf, index_buf):
+    def __call__(self, carry, xs, sparse_buf, index_buf, sparse_s2,
+                 sparse_s3):
         feat_prop, loc = carry  # (B,H,W,C), (B,c,H,W,2)
         lr = xs["feat"]
         flow = xs["flow"]
@@ -244,7 +300,8 @@ class _TrajStep(nn.Module):
                 feat_prop = LTAM(
                     embed_dim=self.embed_dim, **self.ltam_cfg,
                     keys_prenormalized=True, name="LTAM",
-                )(lr, index_buf, feat_prop, sparse_buf, loc)
+                )(lr, index_buf, feat_prop, sparse_buf, loc,
+                  sparse_s2=sparse_s2, sparse_s3=sparse_s3)
 
         feat_prop = ResidualBlocksWithInputConv(
             self.embed_dim, self.num_blocks, self.r_scaling, name="resblocks"
@@ -276,6 +333,11 @@ class TrajectoryMultiHead(nn.Module):
     # buffers, and LTAM all run per-window; cross-window flows are dropped
     # exactly as the reference's ``flows[:, i:i+traj_win-1]`` slicing does.
     traj_win: int | None = None
+    # en_field: append 1.5x / 2x context features of each keyframe as extra
+    # buffers, hard-selected by the same argmax and fused (reference
+    # trajectory.py:367-379, forward_max s2/s3; requires mode='max')
+    en_field: bool = False
+    field_stride: int = 4
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
 
@@ -311,7 +373,8 @@ class TrajectoryMultiHead(nn.Module):
             step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(0, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
         )(
             embed_dim=self.embed_dim,
@@ -323,6 +386,7 @@ class TrajectoryMultiHead(nn.Module):
                 mode=self.mode,
                 if_scale=self.head_scale,
                 twins=tuple(self.twins),
+                en_field=self.en_field,
             ),
             name="step",
         )
@@ -350,11 +414,12 @@ class TrajectoryMultiHead(nn.Module):
             loc = jnp.zeros((N, 0, H, W, 2), jnp.float32)
             sparse = jnp.zeros((N, 0, H, W, C), x.dtype)
             index = jnp.zeros((N, 0, H, W, C), x.dtype)
+            s2 = s3 = jnp.zeros((N, 0, H, W, C), x.dtype)
             outs = []
             for a, b in segments:
                 xs = {"feat": feats_dir[a:b + 1], "flow": flows_dir[a:b + 1]}
                 (feat_prop, loc), ys = step((feat_prop, loc), xs,
-                                            sparse, index)
+                                            sparse, index, s2, s3)
                 outs.append(ys)
                 if b % stride == 0:  # keyframe: append buffers + loc slot
                     sparse = jnp.concatenate([sparse, ys[-1][:, None]], axis=1)
@@ -363,6 +428,14 @@ class TrajectoryMultiHead(nn.Module):
                         feats_dir[b].astype(jnp.float32)).astype(x.dtype)
                     index = jnp.concatenate([index, kf_norm[:, None]], axis=1)
                     loc = jnp.concatenate([loc, grid0], axis=1)
+                    if self.en_field:
+                        fs = self.field_stride
+                        s2 = jnp.concatenate(
+                            [s2, _field_context(ys[-1], fs, 1.5)[:, None]],
+                            axis=1)
+                        s3 = jnp.concatenate(
+                            [s3, _field_context(ys[-1], fs, 2.0)[:, None]],
+                            axis=1)
             return jnp.concatenate(outs, axis=0)
 
         zero_flow = jnp.zeros((1, B, H, W, 2), jnp.float32)
