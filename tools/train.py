@@ -112,8 +112,18 @@ def main():
         if cfg.train.grad_acc else 1
     raw_step = make_train_step(model, cfg.train, grad_acc=grad_acc, jit=False,
                                frames_mirror=cfg.dataset.use_mirrors)
-    step_fn = make_sharded_train_step(raw_step, mesh)
-    state = replicate(mesh, state)
+    if mesh.shape.get("tensor", 1) > 1:
+        # DP x TP: shard the wide weights (and their AdamW slots) over the
+        # tensor axis; GSPMD inserts the ICI collectives (parallel/tp.py)
+        from vmg_tpu.parallel import state_shardings, shard_state
+
+        step_fn = make_sharded_train_step(raw_step, mesh,
+                                          state_shardings(mesh, state))
+        place_state = lambda s: shard_state(mesh, s)  # noqa: E731
+    else:
+        step_fn = make_sharded_train_step(raw_step, mesh)
+        place_state = lambda s: replicate(mesh, s)  # noqa: E731
+    state = place_state(state)
 
     dataset = create_dataset(cfg.dataset, cfg.scale)
     loader = create_dataloader(dataset, cfg.dataset,
@@ -201,7 +211,7 @@ def main():
                     state = host_snapshot
                     step = snapshot_step
                     logger.warning(f"restored host snapshot step {step}")
-                state = replicate(mesh, state)
+                state = place_state(state)
                 continue
             step += 1
             meter.update(loss)
