@@ -215,3 +215,138 @@ def import_reference_models():
     import models.vmg as ref_vmg  # noqa
 
     return ref_vmg
+
+
+class _ConvModuleFull(nn.Module):
+    """mmcv ConvModule stub with BN/IN norm, act zoo, Deconv, order, and
+    padding_mode -- enough for the mmedit common/components modules."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias="auto", conv_cfg=None,
+                 norm_cfg=None, act_cfg=dict(type="ReLU"),
+                 padding_mode="zeros", order=("conv", "norm", "act"), **kw):
+        super().__init__()
+        self.order = tuple(order)
+        self.with_norm = norm_cfg is not None
+        self.with_activation = act_cfg is not None
+        if bias == "auto":
+            bias = not self.with_norm
+        conv_type = (conv_cfg or {}).get("type", "Conv2d")
+        if conv_type == "Deconv":
+            self.conv = nn.ConvTranspose2d(in_channels, out_channels,
+                                           kernel_size, stride=stride,
+                                           padding=padding, bias=bias)
+        else:
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                                  stride=stride, padding=padding,
+                                  dilation=dilation, groups=groups, bias=bias,
+                                  padding_mode=padding_mode)
+        if self.with_norm:
+            kind = norm_cfg["type"]
+            if kind == "BN":
+                self.bn = nn.BatchNorm2d(out_channels)
+            elif kind == "IN":
+                self.bn = nn.InstanceNorm2d(out_channels)
+            else:
+                raise NotImplementedError(kind)
+        if self.with_activation:
+            self.activate = _build_activation_layer(act_cfg)
+
+    @property
+    def norm(self):
+        return self.bn
+
+    def forward(self, x, activate=True, norm=True):
+        for layer in self.order:
+            if layer == "conv":
+                x = self.conv(x)
+            elif layer == "norm" and norm and self.with_norm:
+                x = self.bn(x)
+            elif layer == "act" and activate and self.with_activation:
+                x = self.activate(x)
+        return x
+
+
+def _build_activation_layer(cfg):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    cfg.pop("inplace", None)
+    table = {
+        "ReLU": nn.ReLU,
+        "LeakyReLU": lambda negative_slope=0.01: nn.LeakyReLU(negative_slope),
+        "ELU": nn.ELU,
+        "Sigmoid": nn.Sigmoid,
+        "Tanh": nn.Tanh,
+    }
+    return table[kind](**cfg)
+
+
+class _Registry:
+    def register_module(self, *a, **k):
+        def deco(cls):
+            return cls
+        return deco
+
+
+def _xavier_init(module, gain=1, bias=0, distribution="normal"):
+    if distribution == "uniform":
+        nn.init.xavier_uniform_(module.weight, gain=gain)
+    else:
+        nn.init.xavier_normal_(module.weight, gain=gain)
+    if hasattr(module, "bias") and module.bias is not None:
+        nn.init.constant_(module.bias, bias)
+
+
+def import_reference_common():
+    """Import /root/reference/mmedit/models/common as a standalone package
+    (the stubbed top-level 'mmedit' module is not a package), upgrading the
+    mmcv.cnn stub with what these files need."""
+    install_stubs()
+    import numpy as _np
+    if not hasattr(_np, "asscalar"):  # removed in numpy >= 1.23
+        _np.asscalar = lambda a: a.item()
+    mmcv_cnn = sys.modules["mmcv.cnn"]
+    mmcv_cnn.ConvModule = _ConvModuleFull
+    mmcv_cnn.CONV_LAYERS = _Registry()
+    mmcv_cnn.build_activation_layer = _build_activation_layer
+    mmcv_cnn.xavier_init = _xavier_init
+
+    def _normal_init(module, mean=0, std=1, bias=0):
+        nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    mmcv_cnn.normal_init = _normal_init
+    mmcv_cnn.build_norm_layer = lambda cfg, num: (
+        "bn", nn.BatchNorm2d(num) if cfg["type"] == "BN"
+        else nn.InstanceNorm2d(num))
+    mmcv_cnn.build_conv_layer = lambda cfg, *a, **k: nn.Conv2d(*a, **k)
+
+    mmcv = sys.modules["mmcv"]
+    mmcv_utils = types.ModuleType("mmcv.utils")
+    mmcv_pw = types.ModuleType("mmcv.utils.parrots_wrapper")
+    mmcv_pw._BatchNorm = nn.modules.batchnorm._BatchNorm
+    mmcv_pw._InstanceNorm = nn.modules.instancenorm._InstanceNorm
+    mmcv_utils.parrots_wrapper = mmcv_pw
+    mmcv.utils = mmcv_utils
+    sys.modules["mmcv.utils"] = mmcv_utils
+    sys.modules["mmcv.utils.parrots_wrapper"] = mmcv_pw
+
+    import importlib.util
+    import os
+
+    name = "ref_mmedit_common"
+    if name in sys.modules:
+        return sys.modules[name]
+    path = "/root/reference/mmedit/models/common"
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(path, "__init__.py"),
+        submodule_search_locations=[path])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules[name] = pkg
+    try:
+        spec.loader.exec_module(pkg)
+    except Exception:
+        del sys.modules[name]
+        raise
+    return pkg

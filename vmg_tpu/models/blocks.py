@@ -433,6 +433,82 @@ class _DecayedAxisFC(nn.Module):
         return y
 
 
+class _FusedDecayedAxisFC(nn.Module):
+    """Transpose-free morph-axis FC.
+
+    The straightforward formulation of the morph mix (``_morph_mix_w``)
+    relayouts ``(..., g, pos, q, S) -> (..., g, q, pos, S)`` before a small
+    (Cw x Cw) matmul; on TPU that relayout is a bf16 sublane transpose with a
+    14-element inner run, profiled at 34 GB/s and 15.5% of total serving
+    time (NOTES_ROUND3 xplane split).  This module instead folds the layout
+    permutation into the kernel: tokens stay in their NATIVE flattened
+    ``(pos, q, S)`` order and multiply one block-diagonal matrix
+
+        bigK[(p,q,s), (P,q',Z)] = K[(p,s), (P,Z)] * delta(q, q')
+
+    of shape ``(chunk*Cw, chunk*Cw)`` -- a single large MXU matmul with
+    ``chunk``x the FLOPs (zeros in 7/8 of the blocks) but zero copies.  At
+    stage-0 shapes the extra FLOPs cost ~1 ms where the transposes cost ~8;
+    numerics are identical up to fp32 summation order (the extra terms are
+    exact zeros).  Parameter names/shapes match ``_DecayedAxisFC``.
+    """
+
+    features: int
+    chunk: int
+    use_bias: bool = True
+    non_linear: bool = True
+    decay: bool = True
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (..., chunk*features) flattened (pos, q, S) -> same shape
+        flattened (pos', q, S')."""
+        f, ch = self.features, self.chunk
+        S = f // ch
+        kernel = self.param("kernel", trunc_normal_init(), (f, f))
+        if self.decay:
+            gamma = morphfc_decay_matrix(ch, S)
+            kernel = kernel * gamma.astype(kernel.dtype)
+        k4 = kernel.reshape(ch, S, ch, S)  # (p, s, P, Z)
+        eye = jnp.eye(ch, dtype=kernel.dtype)
+        big = jnp.einsum("psPZ,qr->pqsPrZ", k4, eye).reshape(ch * f, ch * f)
+        y = jax.lax.dot_general(
+            tokens, big, (((tokens.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(tokens.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (f,))
+            # output features are flattened (P, q, Z); bias indexes (P, Z)
+            bias_b = jnp.broadcast_to(
+                bias.reshape(ch, 1, S), (ch, ch, S)
+            ).reshape(ch * f)
+            y = y + bias_b
+        if self.non_linear:
+            y = jax.nn.relu(y)
+        return y
+
+
+def _morph_mix_w_fused(x, fc_apply, chunk_w, Cw):
+    """W-axis morph mixing with tokens left in native (pos, q, S) order --
+    pure reshapes around one block-diagonal matmul (see _FusedDecayedAxisFC)."""
+    B, T, H, W, C = x.shape
+    Wp = -(-W // chunk_w) * chunk_w
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, Cw - C)))
+    G = Wp // chunk_w
+    y = xp.reshape(B, T, H, G, chunk_w * Cw)  # trailing = (pos, q, S)
+    y = fc_apply(y)
+    y = y.reshape(B, T, H, Wp, Cw)
+    return y[:, :, :, :W, :C]
+
+
+def _morph_mix_h_fused(x, fc_apply, chunk_h, Ch):
+    """H-axis morph mixing via one coarse-grained H<->W transpose (C-major
+    inner runs, near-memcpy on TPU) around the fused W-axis form."""
+    xt = x.swapaxes(2, 3)
+    yt = _morph_mix_w_fused(xt, fc_apply, chunk_h, Ch)
+    return yt.swapaxes(2, 3)
+
+
 class MorphFCDecay(nn.Module):
     """Enhanced_MorphFCs_decay (reference function.py:596-805).
 
@@ -453,6 +529,10 @@ class MorphFCDecay(nn.Module):
     relu_scale_norm: bool = False
     channel_mixer: str = "vanilla"
     decay: bool = True
+    # fold the (pos, q) relayout into a block-diagonal kernel (one MXU
+    # matmul, no sublane transposes); falls back to the reshape/transpose
+    # form under relu_scale_norm, whose RMSNorm needs the (q)-token layout
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -461,11 +541,13 @@ class MorphFCDecay(nn.Module):
         Cw = -(-C // self.chunk_w) * self.chunk_w
 
         x_short = x
+        fused = self.fused and not self.relu_scale_norm
+        fc_cls = _FusedDecayedAxisFC if fused else _DecayedAxisFC
 
-        fc_h = _DecayedAxisFC(
+        fc_h = fc_cls(
             Ch, self.chunk_h, self.qkv_bias, self.non_linear, self.decay, name="mlp_h"
         )
-        fc_w = _DecayedAxisFC(
+        fc_w = fc_cls(
             Cw, self.chunk_w, self.qkv_bias, self.non_linear, self.decay, name="mlp_w"
         )
 
@@ -480,8 +562,14 @@ class MorphFCDecay(nn.Module):
         else:
             scale_h = scale_w = scale_c = lambda v: v
 
-        h = _morph_mix_h(x, lambda v: scale_h(fc_h(v)), self.chunk_h, Ch)
-        w = _morph_mix_w(x, lambda v: scale_w(fc_w(v)), self.chunk_w, Cw)
+        if fused:
+            h = _morph_mix_h_fused(x, lambda v: scale_h(fc_h(v)),
+                                   self.chunk_h, Ch)
+            w = _morph_mix_w_fused(x, lambda v: scale_w(fc_w(v)),
+                                   self.chunk_w, Cw)
+        else:
+            h = _morph_mix_h(x, lambda v: scale_h(fc_h(v)), self.chunk_h, Ch)
+            w = _morph_mix_w(x, lambda v: scale_w(fc_w(v)), self.chunk_w, Cw)
 
         if self.channel_mixer == "rcab":
             c = RCAB(self.dim, name="mlp_c")(x)
@@ -521,6 +609,7 @@ class MorphFC(nn.Module):
     chunk_h: int = 8
     chunk_w: int = 8
     qkv_bias: bool = True
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -528,14 +617,24 @@ class MorphFC(nn.Module):
         Ch = -(-C // self.chunk_h) * self.chunk_h
         Cw = -(-C // self.chunk_w) * self.chunk_w
 
-        def mk_fc(feat, name):
-            return nn.Dense(
-                feat, use_bias=self.qkv_bias,
-                kernel_init=trunc_normal_init(), name=name,
-            )
+        if self.fused:
+            fc_h = _FusedDecayedAxisFC(Ch, self.chunk_h, self.qkv_bias,
+                                       non_linear=False, decay=False,
+                                       name="mlp_h")
+            fc_w = _FusedDecayedAxisFC(Cw, self.chunk_w, self.qkv_bias,
+                                       non_linear=False, decay=False,
+                                       name="mlp_w")
+            h = _morph_mix_h_fused(x, fc_h, self.chunk_h, Ch)
+            w = _morph_mix_w_fused(x, fc_w, self.chunk_w, Cw)
+        else:
+            def mk_fc(feat, name):
+                return nn.Dense(
+                    feat, use_bias=self.qkv_bias,
+                    kernel_init=trunc_normal_init(), name=name,
+                )
 
-        h = _morph_mix_h(x, mk_fc(Ch, "mlp_h"), self.chunk_h, Ch)
-        w = _morph_mix_w(x, mk_fc(Cw, "mlp_w"), self.chunk_w, Cw)
+            h = _morph_mix_h(x, mk_fc(Ch, "mlp_h"), self.chunk_h, Ch)
+            w = _morph_mix_w(x, mk_fc(Cw, "mlp_w"), self.chunk_w, Cw)
         c = nn.Dense(self.dim, use_bias=self.qkv_bias,
                      kernel_init=trunc_normal_init(), name="mlp_c")(x)
         a = (h + w + c).astype(jnp.float32).mean(axis=(1, 2, 3))

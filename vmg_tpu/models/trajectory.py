@@ -114,6 +114,62 @@ def _field_context(feat, stride: int, ratio: float):
     return adaptive_avg_pool2d(y, H, W)
 
 
+def _wins_attention_strided(q_full, k_full, v_full, rpe, slot_decay, scale,
+                            n, K, h, w, head, d, wh, ww):
+    """Transpose-free twins-window attention.
+
+    The window form (`_to_key_windows`) relayouts (n,K,h,w,c) into
+    per-window token stacks -- on TPU those are small-granularity sublane
+    transposes costing ~2 ms per slot-step (NOTES_ROUND3 xplane: the 3.1
+    ms/slot marginal is ~1 ms gather + ~2 ms window transforms).  This form
+    never leaves the image layout: each of the wh*ww window key positions is
+    one strided slice broadcast back to full resolution, logits/softmax/
+    weighted-sum run on (K, t, h, w, head) arrays with reductions over the
+    leading (K, t) axes.  Same FLOPs, zero relayouts; numerics identical up
+    to fp32 reduction order.
+    """
+    q5 = (q_full * scale).reshape(n, h, w, head, d)
+    k6 = k_full.reshape(n, K, h, w, head, d)
+    v6 = v_full.reshape(n, K, h, w, head, d)
+    nh, nw = h // wh, w // ww
+    tn = wh * ww
+
+    def _broadcast_sel(x6, ki, kj):
+        sel = x6[:, :, ki::wh, kj::ww]  # (n,K,nh,nw,e,d)
+        return jnp.broadcast_to(
+            sel[:, :, :, None, :, None],
+            (n, K, nh, wh, nw, ww, head, d),
+        ).reshape(n, K, h, w, head, d)
+
+    logits = jnp.stack(
+        [(q5[:, None] * _broadcast_sel(k6, ki, kj)).sum(-1)
+         for ki in range(wh) for kj in range(ww)],
+        axis=2,
+    )  # (n, K, t, h, w, e)
+
+    # pe[e, K, q, k'] = slot_decay[e, K] * rpe[e, q, k'], tiled so every
+    # pixel sees the bias of its in-window query position
+    pe = slot_decay[:, :, None, None] * rpe[:, None]  # (e, K, q_n, t)
+    pe = pe.transpose(1, 3, 2, 0).reshape(K, tn, wh, ww, head)
+    pe = jnp.broadcast_to(
+        pe[:, :, None, :, None, :, :], (K, tn, nh, wh, nw, ww, head)
+    ).reshape(K, tn, h, w, head)
+    logits = logits + pe[None]
+
+    m = logits.max(axis=(1, 2), keepdims=True)
+    ex = jnp.exp(logits - m)
+    attn = ex / ex.sum(axis=(1, 2), keepdims=True)
+
+    out = jnp.zeros((n, h, w, head, d), jnp.float32)
+    t = 0
+    for ki in range(wh):
+        for kj in range(ww):
+            out = out + (attn[:, :, t, ..., None]
+                         * _broadcast_sel(v6, ki, kj)).sum(axis=1)
+            t += 1
+    return out.reshape(n, h, w, head * d)
+
+
 def _to_key_windows(v, n, K, h, w, head, ch, wh, ww):
     """(n, K, h, w, head*ch) -> (n, nWin, head, K*wh*ww, ch), slot-major."""
     nh, nw = h // wh, w // ww
@@ -159,6 +215,10 @@ class LTAM(nn.Module):
     # reference's 'wins' + en_field path crashes on an undefined variable
     # (trajectory.py:782 ``mid_r``), reproduced as an explicit error
     en_field: bool = False
+    # 'strided': transpose-free window attention (serving fast path);
+    # 'windows': the straightforward window-relayout form (kept as the
+    # equivalence oracle in tests)
+    win_impl: str = "strided"
 
     @nn.compact
     def __call__(self, curr, index_buf, anchor, sparse_buf, loc,
@@ -199,16 +259,6 @@ class LTAM(nn.Module):
             wh, ww = self.twins
             q_n = wh * ww
 
-            v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
-                                h, w, head, d, wh, ww)
-            curr_n = _normalize(curr.astype(jnp.float32))
-            index_n = (samp_index.astype(jnp.float32) if self.keys_prenormalized
-                       else _normalize(samp_index.astype(jnp.float32)))
-            q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
-            k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
-            logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
-                                preferred_element_type=jnp.float32)
-
             # decay x learned relative position bias; exponent is static
             rpe = self.param("relative_pos_encoding", trunc_normal_init(),
                              (head, q_n, q_n))
@@ -216,16 +266,32 @@ class LTAM(nn.Module):
                                                       dtype=jnp.float32))
             expo = (K - jnp.arange(K)).astype(jnp.float32)  # (K,)
             slot_decay = jnp.power(decay_v[:, None], expo[None, :])
-            pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
-            pe = pe.reshape(head, q_n, K * q_n)
-            logits = logits + pe[None, None]
 
-            attn = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v,
-                             preferred_element_type=jnp.float32)
-            nh, nw = h // wh, w // ww
-            out = out.reshape(n, nh, nw, head, wh, ww, d)
-            out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, c)
+            curr_n = _normalize(curr.astype(jnp.float32))
+            index_n = (samp_index.astype(jnp.float32) if self.keys_prenormalized
+                       else _normalize(samp_index.astype(jnp.float32)))
+
+            if self.win_impl == "strided":
+                out = _wins_attention_strided(
+                    curr_n, index_n, samp_sparse.astype(jnp.float32),
+                    rpe, slot_decay, scale, n, K, h, w, head, d, wh, ww)
+            else:
+                v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
+                                    h, w, head, d, wh, ww)
+                q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
+                k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
+                logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
+                                    preferred_element_type=jnp.float32)
+                pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
+                pe = pe.reshape(head, q_n, K * q_n)
+                logits = logits + pe[None, None]
+
+                attn = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v,
+                                 preferred_element_type=jnp.float32)
+                nh, nw = h // wh, w // ww
+                out = out.reshape(n, nh, nw, head, wh, ww, d)
+                out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, c)
         elif self.mode == "max":
             curr_n = _normalize(curr.astype(jnp.float32))
             index_n = (samp_index.astype(jnp.float32) if self.keys_prenormalized
