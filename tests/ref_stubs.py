@@ -350,3 +350,40 @@ def import_reference_common():
         del sys.modules[name]
         raise
     return pkg
+
+
+def import_reference_matting_metrics():
+    """Load /root/reference/mmedit/core/evaluation/metrics.py standalone.
+
+    Needs era shims: np.int (removed numpy 1.24), scipy.ndimage.filters
+    (removed scipy 1.15), and a synthetic parent package so the relative
+    metric_utils import resolves."""
+    install_stubs()
+    import importlib.util
+    import os
+    import numpy as _np
+    import scipy.ndimage
+
+    name = "ref_mmedit_eval"
+    if f"{name}.metrics" in sys.modules:
+        return sys.modules[f"{name}.metrics"]
+
+    if not hasattr(_np, "int"):
+        _np.int = int
+    if "scipy.ndimage.filters" not in sys.modules:
+        filters = types.ModuleType("scipy.ndimage.filters")
+        filters.convolve = scipy.ndimage.convolve
+        sys.modules["scipy.ndimage.filters"] = filters
+
+    path = "/root/reference/mmedit/core/evaluation"
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [path]
+    sys.modules[name] = pkg
+    for sub in ("metric_utils", "metrics"):
+        spec = importlib.util.spec_from_file_location(
+            f"{name}.{sub}", os.path.join(path, f"{sub}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{name}.{sub}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, sub, mod)
+    return sys.modules[f"{name}.metrics"]

@@ -1,0 +1,223 @@
+"""Matting tail: metrics oracle vs the reference implementation,
+composition losses oracle vs reference formulas in torch, and behavioral
+tests for the matting_aug transforms."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from vmg_tpu.eval import matting_metrics as M
+from vmg_tpu.edit.losses import (L1CompositionLoss, MSECompositionLoss,
+                                 CharbonnierCompLoss)
+from vmg_tpu.edit import matting_aug as A
+
+
+def _sample_mattes(seed=0, h=48, w=64):
+    rng = np.random.default_rng(seed)
+    alpha = (rng.random((h, w)) * 255).astype(np.uint8)
+    alpha[:8] = 0
+    alpha[-8:] = 255
+    trimap = np.full((h, w), 128, np.uint8)
+    trimap[:8] = 0
+    trimap[-8:] = 255
+    pred = np.clip(alpha.astype(np.int32)
+                   + rng.integers(-30, 30, (h, w)), 0, 255).astype(np.uint8)
+    pred[trimap == 0] = 0
+    pred[trimap == 255] = 255
+    return alpha, trimap, pred
+
+
+def test_matting_metrics_oracle():
+    from ref_stubs import import_reference_matting_metrics
+
+    ref = import_reference_matting_metrics()
+    alpha, trimap, pred = _sample_mattes()
+    assert np.isclose(M.sad(alpha, trimap, pred),
+                      ref.sad(alpha, trimap, pred))
+    assert np.isclose(M.mse(alpha, trimap, pred),
+                      ref.mse(alpha, trimap, pred))
+    assert np.isclose(M.gradient_error(alpha, trimap, pred),
+                      ref.gradient_error(alpha, trimap, pred), rtol=1e-6)
+    assert np.isclose(M.connectivity(alpha, trimap, pred),
+                      ref.connectivity(alpha, trimap, pred), rtol=1e-6)
+
+
+def test_matting_metrics_reject_unmasked_pred():
+    alpha, trimap, pred = _sample_mattes()
+    bad = pred.copy()
+    bad[trimap == 0] = 7
+    with pytest.raises(ValueError):
+        M.gradient_error(alpha, trimap, bad)
+
+
+def test_matting_metrics_perfect_prediction():
+    alpha, trimap, _ = _sample_mattes()
+    alpha_m = alpha.copy()
+    alpha_m[trimap == 0] = 0
+    alpha_m[trimap == 255] = 255
+    assert M.sad(alpha_m, trimap, alpha_m) == 0
+    assert M.mse(alpha_m, trimap, alpha_m) == 0
+    assert M.gradient_error(alpha_m, trimap, alpha_m) == 0
+    assert M.connectivity(alpha_m, trimap, alpha_m) == 0
+
+
+@pytest.mark.parametrize("cls,torch_elem", [
+    (L1CompositionLoss, lambda d: d.abs()),
+    (MSECompositionLoss, lambda d: d ** 2),
+    (CharbonnierCompLoss, lambda d: torch.sqrt(d ** 2 + 1e-12)),
+])
+def test_composition_loss_oracle(cls, torch_elem):
+    rng = np.random.default_rng(1)
+    n, h, w = 2, 8, 8
+    pa = rng.random((n, h, w, 1)).astype(np.float32)
+    fg = rng.random((n, h, w, 3)).astype(np.float32)
+    bg = rng.random((n, h, w, 3)).astype(np.float32)
+    merged = rng.random((n, h, w, 3)).astype(np.float32)
+    weight = (rng.random((n, h, w, 1)) > 0.5).astype(np.float32)
+
+    # reference semantics (composition_loss.py:44-51): weighted mean over
+    # the weight mass
+    tp, tf, tb, tm, tw = (torch.tensor(v) for v in
+                          (pa, fg, bg, merged, weight))
+    pred_merged = tp * tf + (1 - tp) * tb
+    lw = tw.expand(-1, -1, -1, 3)
+    elem = torch_elem(pred_merged - tm) * lw
+    expect = elem.sum() / lw.sum()
+
+    got = cls()(jnp.asarray(pa), jnp.asarray(fg), jnp.asarray(bg),
+                jnp.asarray(merged), jnp.asarray(weight))
+    np.testing.assert_allclose(float(got), float(expect), rtol=1e-5)
+
+    # unweighted: plain mean
+    got_plain = cls()(jnp.asarray(pa), jnp.asarray(fg), jnp.asarray(bg),
+                      jnp.asarray(merged))
+    expect_plain = torch_elem(pred_merged - tm).mean()
+    np.testing.assert_allclose(float(got_plain), float(expect_plain),
+                               rtol=1e-5)
+
+
+# --- matting_aug transforms -------------------------------------------------
+
+
+def _alpha_results(seed=0, h=64, w=64):
+    rng = np.random.default_rng(seed)
+    alpha = np.zeros((h, w), np.uint8)
+    alpha[16:48, 16:48] = 255
+    alpha[24:40, 24:40] = 128
+    return {"alpha": alpha, "rng": rng}
+
+
+def test_merge_fg_and_bg():
+    res = _alpha_results()
+    res["fg"] = np.full((64, 64, 3), 200.0, np.float32)
+    res["bg"] = np.full((64, 64, 3), 50.0, np.float32)
+    out = A.MergeFgAndBg()(res)
+    a = res["alpha"][..., None].astype(np.float32) / np.float32(255.0)
+    expect = np.broadcast_to(200.0 * a + 50.0 * (1 - a), (64, 64, 3))
+    np.testing.assert_allclose(out["merged"], expect, rtol=1e-6)
+
+
+def test_generate_trimap_values_and_monotonicity():
+    res = _alpha_results()
+    out = A.GenerateTrimap(kernel_size=(3, 5), iterations=(1, 3))(res)
+    tri = out["trimap"]
+    assert set(np.unique(tri)) <= {0.0, 128.0, 255.0}
+    # definite fg must be inside the original fg, bg outside dilated fg
+    assert (res["alpha"][tri == 255] == 255).all()
+    assert (res["alpha"][tri == 0] == 0).all()
+
+
+def test_generate_trimap_dist_transform():
+    res = _alpha_results()
+    out = A.GenerateTrimapWithDistTransform(dist_thr=4, random=False)(res)
+    tri = out["trimap"]
+    assert set(np.unique(tri)) <= {0, 128, 255}
+    # every originally-unknown pixel stays unknown
+    assert (tri[(res["alpha"] > 0) & (res["alpha"] < 255)] == 128).all()
+
+
+def test_composite_fg(tmp_path):
+    import cv2
+
+    fg_dir = tmp_path / "fg"
+    alpha_dir = tmp_path / "alpha"
+    fg_dir.mkdir()
+    alpha_dir.mkdir()
+    cv2.imwrite(str(fg_dir / "0.png"),
+                np.full((32, 32, 3), 120, np.uint8))
+    cv2.imwrite(str(alpha_dir / "0.png"),
+                np.full((32, 32), 128, np.uint8))
+
+    res = _alpha_results(seed=3)
+    res["fg"] = np.full((64, 64, 3), 200.0, np.float32)
+    tf = A.CompositeFg(str(fg_dir), str(alpha_dir))
+    # drive until the 50% branch triggers
+    for seed in range(10):
+        res2 = dict(res, rng=np.random.default_rng(seed))
+        out = tf(res2)
+        if not np.array_equal(out["alpha"], res["alpha"]):
+            break
+    else:
+        pytest.fail("composition branch never triggered")
+    # alpha' = 1 - (1-a1)(1-a2) >= a1
+    assert (out["alpha"].astype(int) >= res["alpha"].astype(int) - 1).all()
+
+
+def test_generate_seg_and_soft_seg():
+    res = _alpha_results(seed=4)
+    res["trimap"] = A.GenerateTrimap(3, random=False)(dict(res))["trimap"]
+    out = A.GenerateSeg(num_holes_range=(1, 2))(res)
+    assert out["seg"].dtype == np.uint8
+    assert out["num_holes"] in (0, 1)
+
+    res2 = {"seg": (out["seg"] * 255).clip(0, 255).astype(np.uint8),
+            "rng": np.random.default_rng(5)}
+    out2 = A.GenerateSoftSeg()(res2)
+    assert out2["soft_seg"].shape == res2["seg"].shape
+    assert out2["soft_seg"].dtype == np.uint8
+
+
+def test_perturb_bg_both_branches():
+    bg = np.full((16, 16, 3), 100, np.uint8)
+    noise = A.PerturbBg(gamma_ratio=0.0)({"bg": bg.astype(np.float32),
+                                          "rng": np.random.default_rng(0)})
+    assert not np.array_equal(noise["noisy_bg"], bg)
+    gamma = A.PerturbBg(gamma_ratio=1.0)({"bg": bg,
+                                          "rng": np.random.default_rng(0)})
+    assert gamma["noisy_bg"].shape == bg.shape
+
+
+def test_transform_trimap_matches_reference_encoding():
+    import cv2
+
+    res = _alpha_results(seed=6)
+    res["trimap"] = np.full((64, 64), 128, np.uint8)
+    res["trimap"][:16] = 0
+    res["trimap"][-16:] = 255
+    out = A.TransformTrimap(res := dict(res)) if False else \
+        A.TransformTrimap()(res)
+    tri2 = out["two_channel_trimap"]
+    assert tri2.shape == (64, 64, 2)
+    assert (tri2[:16, :, 0] == 255).all() and (tri2[-16:, :, 1] == 255).all()
+    trans = out["transformed_trimap"]
+    assert trans.shape == (64, 64, 6)
+    # exact reference formula for channel 0 scale 0
+    dt = -cv2.distanceTransform(255 - tri2[:, :, 0], cv2.DIST_L2, 0) ** 2
+    expect = np.exp(dt / (2 * (0.02 * 320) ** 2))
+    np.testing.assert_allclose(trans[..., 0], expect, rtol=1e-5)
+
+
+def test_adjust_gamma_uint8_scaling():
+    img = np.arange(0, 256, dtype=np.uint8).reshape(16, 16)
+    out = A.adjust_gamma(img, gamma=2.0)
+    expect = (((img / 255.0) ** 2) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_random_choose_unknown_prefers_center_region():
+    unknown = np.zeros((32, 32), bool)
+    unknown[10, 10] = True
+    top, left = A.random_choose_unknown(unknown, (8, 8),
+                                        np.random.default_rng(0))
+    assert (top, left) == (6, 6)

@@ -9,6 +9,7 @@ hooks, and mask generators.  Built fresh on numpy/JAX -- no mmcv.
 from vmg_tpu.edit.registry import Registry, MODELS, LOSSES, DATASETS, PIPELINES, build_from_cfg
 from vmg_tpu.edit.pipelines import Compose
 from vmg_tpu.edit import pipelines as _pipelines  # registers transforms
+from vmg_tpu.edit import matting_aug as _matting_aug  # registers transforms
 from vmg_tpu.edit import losses as _losses  # registers losses
 from vmg_tpu.edit.restorer import BasicRestorer
 from vmg_tpu.edit.hooks import EvalIterHook, VisualizationHook, HookList

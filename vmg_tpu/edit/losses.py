@@ -78,6 +78,55 @@ class CharbonnierLoss:
                                           self.sample_wise)
 
 
+class _CompositionLossBase:
+    """alpha-composition losses (reference
+    ``mmedit/models/losses/composition_loss.py:10-150``): compare
+    ``pred_alpha * fg + (1 - pred_alpha) * bg`` against the original merged
+    image.  Channels-last: pred_alpha (N,H,W,1), fg/bg/ori_merged (N,H,W,3),
+    weight (N,H,W,1) with 1 where trimap == 128."""
+
+    def __init__(self, loss_weight=1.0, reduction="mean", sample_wise=False):
+        if reduction not in ("none", "mean", "sum"):
+            raise ValueError(f"Unsupported reduction mode: {reduction}")
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+        self.sample_wise = sample_wise
+
+    def _elem(self, diff):
+        raise NotImplementedError
+
+    def __call__(self, pred_alpha, fg, bg, ori_merged, weight=None):
+        pred_merged = pred_alpha * fg + (1.0 - pred_alpha) * bg
+        if weight is not None:
+            weight = jnp.broadcast_to(weight, pred_merged.shape)
+        loss = self._elem(pred_merged - ori_merged)
+        return self.loss_weight * _reduce(loss, weight, self.reduction,
+                                          self.sample_wise)
+
+
+@LOSSES.register_module()
+class L1CompositionLoss(_CompositionLossBase):
+    def _elem(self, diff):
+        return jnp.abs(diff)
+
+
+@LOSSES.register_module()
+class MSECompositionLoss(_CompositionLossBase):
+    def _elem(self, diff):
+        return diff ** 2
+
+
+@LOSSES.register_module()
+class CharbonnierCompLoss(_CompositionLossBase):
+    def __init__(self, loss_weight=1.0, reduction="mean", sample_wise=False,
+                 eps=1e-12):
+        super().__init__(loss_weight, reduction, sample_wise)
+        self.eps = eps
+
+    def _elem(self, diff):
+        return jnp.sqrt(diff ** 2 + self.eps)
+
+
 @LOSSES.register_module()
 class MaskedTVLoss:
     """Masked total-variation loss (reference pixelwise_loss.py)."""
