@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Trace a target on the TPU with jax.profiler and summarize device op
+time by kind from the xplane proto (the tensorboard_plugin_profile
+converter is version-broken in this image; tensorflow.tsl xplane_pb2
+parses the raw file fine -- NOTES_ROUND3).
+
+Usage: python tools/xprof_summary.py --what morphfc_fused|morphfc_slow|traj|model
+Prints a sorted table of op-name buckets and total device time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def summarize_xplane(logdir, topk=25):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    path = max(files, key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    per_op = defaultdict(float)
+    per_kind = defaultdict(float)
+    total = 0.0
+    for plane in xs.planes:
+        if "TPU" not in plane.name or "Step" in plane.name:
+            continue
+        ev_names = plane.event_metadata
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "XLA Op" != line.name:
+                continue
+            for ev in line.events:
+                name = ev_names[ev.metadata_id].name
+                dur = ev.duration_ps / 1e9  # ms
+                total += dur
+                per_op[name] += dur
+                kind = re.split(r"[.\d]", name, 1)[0]
+                per_kind[kind] += dur
+    return per_op, per_kind, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="morphfc_fused")
+    ap.add_argument("--logdir", default="/tmp/vmg_xprof")
+    ap.add_argument("--topk", type=int, default=20)
+    args = ap.parse_args()
+
+    from vmg_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vmg_tpu.train.precision import cast_params_for_compute
+    from vmg_tpu.utils.profiling import timed
+
+    T, H, W, C0 = 16, 180, 320, 112
+    rng = np.random.default_rng(0)
+
+    if args.what.startswith("morphfc"):
+        from vmg_tpu.models.blocks import MorphFCDecay
+        m = MorphFCDecay(C0, 8, 8, channel_mixer="rcab",
+                         fused=args.what.endswith("fused"))
+        x = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
+                        jnp.bfloat16)
+        p = jax.jit(m.init)(jax.random.key(0), x)
+        p = cast_params_for_compute(p, jnp.bfloat16)
+        fn = jax.jit(m.apply)
+        fargs = (p, x)
+    elif args.what == "traj":
+        from vmg_tpu.models.trajectory import TrajectoryMultiHead
+        traj = TrajectoryMultiHead(embed_dim=C0, num_blocks=15,
+                                   keyframe_stride=3, head=4, mode="wins",
+                                   r_scaling=0.1, ltam=True, traj_win=16)
+        xt = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
+                         jnp.bfloat16)
+        ff = jnp.asarray(rng.random((1, T - 1, H, W, 2), dtype=np.float32))
+        fb = jnp.asarray(rng.random((1, T - 1, H, W, 2), dtype=np.float32))
+        p = jax.jit(traj.init)(jax.random.key(1), xt, ff, fb)
+        p = cast_params_for_compute(p, jnp.bfloat16)
+        fn = jax.jit(lambda p_, a, b, c: traj.apply(p_, a, b, c))
+        fargs = (p, xt, ff, fb)
+    elif args.what == "model":
+        from vmg_tpu.configs import FULL_PRESET
+        from vmg_tpu.models import create_model
+        model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
+        model_f32 = create_model(FULL_PRESET, is_train=False)
+        x = jnp.asarray(rng.random((1, T, H, W, 3), dtype=np.float32))
+        p = jax.jit(model_f32.init)(jax.random.key(0), x)
+        p = cast_params_for_compute(p, jnp.bfloat16)
+        fn = jax.jit(lambda p_, v: model.apply(p_, v))
+        fargs = (p, x)
+    else:
+        raise SystemExit(f"unknown --what {args.what}")
+
+    ms = timed(fn, *fargs) * 1e3
+    print(f"wall: {ms:.2f} ms")
+    with jax.profiler.trace(args.logdir):
+        out = fn(*fargs)
+        jax.tree.leaves(out)[0].block_until_ready()
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+    per_op, per_kind, total = summarize_xplane(args.logdir, args.topk)
+    print(f"device total: {total:.2f} ms")
+    print("\n-- by kind --")
+    for k, v in sorted(per_kind.items(), key=lambda kv: -kv[1])[:args.topk]:
+        print(f"{v:9.3f} ms  {100 * v / max(total, 1e-9):5.1f}%  {k}")
+    print("\n-- top ops --")
+    for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.topk]:
+        print(f"{v:9.3f} ms  {k[:100]}")
+
+
+if __name__ == "__main__":
+    main()

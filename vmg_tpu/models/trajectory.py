@@ -406,6 +406,8 @@ class TrajectoryMultiHead(nn.Module):
     field_stride: int = 4
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
+    # LTAM wins-attention implementation (see LTAM.win_impl)
+    win_impl: str = "strided"
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
@@ -453,6 +455,7 @@ class TrajectoryMultiHead(nn.Module):
                 if_scale=self.head_scale,
                 twins=tuple(self.twins),
                 en_field=self.en_field,
+                win_impl=self.win_impl,
             ),
             name="step",
         )
