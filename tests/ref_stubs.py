@@ -352,6 +352,143 @@ def import_reference_common():
     return pkg
 
 
+def _upfirdn2d_native(input, kernel, up_x, up_y, down_x, down_y,
+                      pad_x0, pad_x1, pad_y0, pad_y1):
+    """Reference upfirdn2d (rosinality native form) in pure torch."""
+    import torch.nn.functional as F
+
+    _, channel, in_h, in_w = input.shape
+    input = input.reshape(-1, in_h, in_w, 1)
+    minor = 1
+    kernel_h, kernel_w = kernel.shape
+
+    out = input.view(-1, in_h, 1, in_w, 1, minor)
+    out = F.pad(out, [0, 0, 0, up_x - 1, 0, 0, 0, up_y - 1])
+    out = out.view(-1, in_h * up_y, in_w * up_x, minor)
+
+    out = F.pad(out, [0, 0, max(pad_x0, 0), max(pad_x1, 0),
+                      max(pad_y0, 0), max(pad_y1, 0)])
+    out = out[:, max(-pad_y0, 0): out.shape[1] - max(-pad_y1, 0),
+              max(-pad_x0, 0): out.shape[2] - max(-pad_x1, 0), :]
+
+    out = out.permute(0, 3, 1, 2)
+    out = out.reshape(
+        [-1, 1, in_h * up_y + pad_y0 + pad_y1, in_w * up_x + pad_x0 + pad_x1])
+    w = torch.flip(kernel, [0, 1]).view(1, 1, kernel_h, kernel_w)
+    out = torch.nn.functional.conv2d(out, w)
+    out = out.reshape(-1, minor,
+                      in_h * up_y + pad_y0 + pad_y1 - kernel_h + 1,
+                      in_w * up_x + pad_x0 + pad_x1 - kernel_w + 1)
+    out = out.permute(0, 2, 3, 1)
+    out = out[:, ::down_y, ::down_x, :]
+    out_h = (in_h * up_y + pad_y0 + pad_y1 - kernel_h) // down_y + 1
+    out_w = (in_w * up_x + pad_x0 + pad_x1 - kernel_w) // down_x + 1
+    return out.view(-1, channel, out_h, out_w)
+
+
+def _upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+    return _upfirdn2d_native(input, kernel, up, up, down, down,
+                             pad[0], pad[1], pad[0], pad[1])
+
+
+def _fused_bias_leakyrelu(x, bias, negative_slope=0.2, scale=2 ** 0.5):
+    import torch.nn.functional as F
+
+    shape = [1, -1] + [1] * (x.ndim - 2)
+    return F.leaky_relu(x + bias.view(*shape), negative_slope) * scale
+
+
+class _FusedBiasLeakyReLU(nn.Module):
+    def __init__(self, num_channels, negative_slope=0.2, scale=2 ** 0.5):
+        super().__init__()
+        self.bias = nn.Parameter(torch.zeros(num_channels))
+        self.negative_slope = negative_slope
+        self.scale = scale
+
+    def forward(self, x):
+        return _fused_bias_leakyrelu(x, self.bias, self.negative_slope,
+                                     self.scale)
+
+
+def import_reference_stylegan2():
+    """Load the reference stylegan2 files standalone, with mmcv.ops stubs."""
+    install_stubs()
+    import_reference_common()  # upgrades mmcv.cnn (ConvModule, act builder)
+    import importlib.util
+    import os
+
+    name = "ref_stylegan2"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    mmcv = sys.modules["mmcv"]
+    mmcv.is_seq_of = lambda seq, t: isinstance(seq, (list, tuple)) and all(
+        isinstance(s, t) for s in seq)
+    mmcv.print_log = lambda *a, **k: None
+    mmcv_cnn = sys.modules["mmcv.cnn"]
+    bricks = types.ModuleType("mmcv.cnn.bricks")
+    bricks_act = types.ModuleType("mmcv.cnn.bricks.activation")
+    bricks_act.build_activation_layer = mmcv_cnn.build_activation_layer
+    bricks.activation = bricks_act
+    sys.modules["mmcv.cnn.bricks"] = bricks
+    sys.modules["mmcv.cnn.bricks.activation"] = bricks_act
+    cnn_utils = sys.modules.setdefault("mmcv.cnn.utils",
+                                       types.ModuleType("mmcv.cnn.utils"))
+
+    def _normal_init_mod(module, mean=0, std=1, bias=0):
+        nn.init.normal_(module.weight, mean, std)
+        if getattr(module, "bias", None) is not None:
+            nn.init.constant_(module.bias, bias)
+
+    cnn_utils.normal_init = _normal_init_mod
+    mmcv_cnn.utils = cnn_utils
+    ops = types.ModuleType("mmcv.ops")
+    ops_fblr = types.ModuleType("mmcv.ops.fused_bias_leakyrelu")
+    ops_fblr.FusedBiasLeakyReLU = _FusedBiasLeakyReLU
+    ops_fblr.fused_bias_leakyrelu = _fused_bias_leakyrelu
+    ops_up = types.ModuleType("mmcv.ops.upfirdn2d")
+    ops_up.upfirdn2d = _upfirdn2d
+    ops.fused_bias_leakyrelu = ops_fblr
+    ops.upfirdn2d = ops_up
+    sys.modules["mmcv.ops"] = ops
+    sys.modules["mmcv.ops.fused_bias_leakyrelu"] = ops_fblr
+    sys.modules["mmcv.ops.upfirdn2d"] = ops_up
+    runner = sys.modules["mmcv.runner"]
+    ckpt_mod = types.ModuleType("mmcv.runner.checkpoint")
+    ckpt_mod._load_checkpoint_with_prefix = lambda *a, **k: {}
+    runner.checkpoint = ckpt_mod
+    sys.modules["mmcv.runner.checkpoint"] = ckpt_mod
+
+    # minimal mmedit.models.registry (may already exist from other loaders)
+    if "mmedit.models.registry" not in sys.modules:
+        mmedit = sys.modules["mmedit"]
+        models = types.ModuleType("mmedit.models")
+
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+
+        registry = types.ModuleType("mmedit.models.registry")
+        registry.COMPONENTS = _Reg()
+        models.registry = registry
+        mmedit.models = models
+        sys.modules["mmedit.models"] = models
+        sys.modules["mmedit.models.registry"] = registry
+
+    base = "/root/reference/mmedit/models/components/stylegan2"
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [base]
+    sys.modules[name] = pkg
+    for sub in ("modules", "common", "generator_discriminator"):
+        spec = importlib.util.spec_from_file_location(
+            f"{name}.{sub}", os.path.join(base, f"{sub}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{name}.{sub}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, sub, mod)
+    return pkg
+
+
 def import_reference_matting_metrics():
     """Load /root/reference/mmedit/core/evaluation/metrics.py standalone.
 

@@ -12,6 +12,7 @@ from vmg_tpu.edit import pipelines as _pipelines  # registers transforms
 from vmg_tpu.edit import matting_aug as _matting_aug  # registers transforms
 from vmg_tpu.edit import losses as _losses  # registers losses
 from vmg_tpu.edit import components as _components  # registers GAN components
+from vmg_tpu.edit import stylegan2 as _stylegan2  # registers StyleGAN2
 from vmg_tpu.edit.restorer import BasicRestorer
 from vmg_tpu.edit.hooks import EvalIterHook, VisualizationHook, HookList
 from vmg_tpu.edit.misc import tensor2img
