@@ -74,9 +74,16 @@ def main():
     if not lr_root:
         p.error("no LR root: set dataset.dataset_root in the config "
                 "or pass --lr-root")
-    gt_root = args.gt_root or cfg.dataset.gt_root or lr_root.replace(
-        "train_sharp_bicubic", "train_sharp"
-    )
+    # default GT location by dataset-name dispatch
+    # (reference tools/test_reds4.py:148-163)
+    if args.gt_root or cfg.dataset.gt_root:
+        gt_root = args.gt_root or cfg.dataset.gt_root
+    elif "Vimeo" in cfg.name:
+        gt_root = lr_root.replace("_LR", "")
+    elif "RED" in cfg.name:
+        gt_root = lr_root.replace("train_sharp_bicubic", "train_sharp")
+    else:  # Vid4 / UDM10 trees: <root>/LR/X4/<clip> vs <root>/GT/<clip>
+        gt_root = lr_root.replace("LR/X4", "GT")
 
     # --- params -------------------------------------------------------
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pt")):
