@@ -10,6 +10,7 @@ from vmg_tpu.edit.registry import Registry, MODELS, LOSSES, DATASETS, PIPELINES,
 from vmg_tpu.edit.pipelines import Compose
 from vmg_tpu.edit import pipelines as _pipelines  # registers transforms
 from vmg_tpu.edit import matting_aug as _matting_aug  # registers transforms
+from vmg_tpu.edit import pipelines_extra as _pipelines_extra  # registers transforms
 from vmg_tpu.edit import losses as _losses  # registers losses
 from vmg_tpu.edit import components as _components  # registers GAN components
 from vmg_tpu.edit import stylegan2 as _stylegan2  # registers StyleGAN2

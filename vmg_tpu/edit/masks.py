@@ -10,13 +10,14 @@ import numpy as np
 import cv2
 
 
-def bbox_mask(img_shape: Tuple[int, int], max_bbox_shape: Tuple[int, int] = (128, 128),
-              max_bbox_delta: Tuple[int, int] = (40, 40),
-              min_margin: Tuple[int, int] = (20, 20),
-              rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Random rectangle mask -> (H, W, 1) float32 {0,1}."""
+def random_bbox(img_shape: Tuple[int, int],
+                max_bbox_shape: Tuple[int, int] = (128, 128),
+                max_bbox_delta: Tuple[int, int] = (40, 40),
+                min_margin: Tuple[int, int] = (20, 20),
+                rng: Optional[np.random.Generator] = None):
+    """Random hole bbox (top, left, h, w) (reference mask.py:9)."""
     rng = rng or np.random.default_rng()
-    H, W = img_shape
+    H, W = img_shape[:2]
     mh, mw = max_bbox_shape
     dh, dw = max_bbox_delta
     marh, marw = min_margin
@@ -24,9 +25,26 @@ def bbox_mask(img_shape: Tuple[int, int], max_bbox_shape: Tuple[int, int] = (128
     w = mw - int(rng.integers(0, dw // 2 + 1)) * 2
     top = int(rng.integers(marh, H - mh - marh + 1))
     left = int(rng.integers(marw, W - mw - marw + 1))
-    mask = np.zeros((H, W, 1), np.float32)
-    mask[top : top + h, left : left + w] = 1.0
+    return (top, left, h, w)
+
+
+def bbox2mask(img_shape: Tuple[int, int], bbox,
+              dtype=np.float32) -> np.ndarray:
+    """bbox (top, left, h, w) -> (H, W, 1) mask (reference mask.py:77)."""
+    H, W = img_shape[:2]
+    mask = np.zeros((H, W, 1), dtype)
+    top, left, h, w = bbox
+    mask[top: top + h, left: left + w] = 1
     return mask
+
+
+def bbox_mask(img_shape: Tuple[int, int], max_bbox_shape: Tuple[int, int] = (128, 128),
+              max_bbox_delta: Tuple[int, int] = (40, 40),
+              min_margin: Tuple[int, int] = (20, 20),
+              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random rectangle mask -> (H, W, 1) float32 {0,1}."""
+    return bbox2mask(img_shape, random_bbox(img_shape, max_bbox_shape,
+                                            max_bbox_delta, min_margin, rng))
 
 
 def irregular_mask(img_shape: Tuple[int, int], area_ratio_range=(0.15, 0.5),
