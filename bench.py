@@ -84,14 +84,25 @@ def main():
     fps = T * reps * len(clips) / dt
 
     ref_fps = _ref_baseline_fps()
+    # The driver target is the PyTorch reference on A100; no A100 exists
+    # here, so BASELINE.md projects it at ~15-30 f/s (utilization band of
+    # the measured torch-CPU run applied to A100 bf16 peak).  Report
+    # vs_baseline against the CENTER of that band so the headline number
+    # tracks the real target; the raw torch-CPU measurement stays as a
+    # secondary field (VERDICT r2 weak #2).
+    a100_band = (15.0, 30.0)
+    a100_mid = sum(a100_band) / 2
     print(json.dumps({
         "metric": "REDS4 4x VSR throughput (full VMG, 180x320 full-frame, "
                   "T=16, bf16 serving)",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
-        # x over the measured reference torch-CPU f/s at the same protocol
-        # (tools/ref_baseline.json; see BASELINE.md for caveats)
-        "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
+        # x over the projected PyTorch-A100 f/s band center (BASELINE.md;
+        # >= 3.0 would be 3x A100 parity, the driver bar)
+        "vs_baseline": round(fps / a100_mid, 3),
+        "vs_a100_band": [round(fps / a100_band[1], 3),
+                         round(fps / a100_band[0], 3)],
+        "vs_torch_cpu_measured": round(fps / ref_fps, 1) if ref_fps else None,
     }))
 
 
