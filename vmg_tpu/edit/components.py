@@ -159,7 +159,7 @@ class LightCNN(nn.Module):
     in_channels: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, features_only: bool = False):
         spec = [(48, 5, 2), "pool", (48, 1, 0), (96, 3, 1), "pool",
                 (96, 1, 0), (192, 3, 1), "pool", (192, 1, 0), (128, 3, 1),
                 (128, 1, 0), (128, 3, 1), "pool"]
@@ -171,6 +171,10 @@ class LightCNN(nn.Module):
                 c, k, p = s
                 x = MaxFeature(c, k, 1, p, name=f"mf{i}")(x)
                 i += 1
+        if features_only:
+            # the frozen feature trunk of LightCNNFeatureLoss
+            # (reference feature_loss.py:10)
+            return x
         x = x.reshape(x.shape[0], -1)
         x = MaxFeature(256, filter_type="linear", name="fc1")(x)
         x = _lrelu(x)

@@ -343,3 +343,145 @@ class PerceptualLoss:
                 for k, w in self.layer_weights.items()
             ) * self.style_weight
         return percep, style
+
+
+@LOSSES.register_module()
+class DiscShiftLoss:
+    """Mean-square shift regularizer on discriminator logits
+    (reference gan_loss.py:170, default weight 0.1)."""
+
+    def __init__(self, loss_weight=0.1):
+        self.loss_weight = loss_weight
+
+    def __call__(self, x):
+        return self.loss_weight * jnp.mean(x ** 2)
+
+
+@LOSSES.register_module()
+class GradientPenaltyLoss:
+    """WGAN-GP gradient penalty (reference gan_loss.py:100-166).
+
+    Functional form: pass the discriminator as ``disc_fn(x) -> logits``
+    (close over params); the input gradient comes from jax.grad instead of
+    torch.autograd.grad.  Channels-last: the 2-norm runs over the channel
+    (last) axis like the reference's dim=1.
+    """
+
+    def __init__(self, loss_weight=1.0):
+        self.loss_weight = loss_weight
+
+    def __call__(self, disc_fn, real_data, fake_data, rng, mask=None):
+        n = real_data.shape[0]
+        alpha = jax.random.uniform(rng, (n,) + (1,) * (real_data.ndim - 1))
+        interp = alpha * real_data + (1.0 - alpha) * fake_data
+
+        grads = jax.grad(lambda v: jnp.sum(disc_fn(v)))(interp)
+        if mask is not None:
+            grads = grads * mask
+        norms = jnp.sqrt(jnp.sum(grads ** 2, axis=-1) + 1e-24)
+        penalty = jnp.mean((norms - 1.0) ** 2)
+        if mask is not None:
+            penalty = penalty / jnp.mean(mask)
+        return self.loss_weight * penalty
+
+
+def _bicubic_torch_resize(x, out_h, out_w):
+    """torch ``F.interpolate(mode='bicubic', align_corners=False)``:
+    half-pixel sampling with the Keys cubic kernel at A = -0.75 (jax's
+    bicubic uses A = -0.5, which does not match bit-wise) and clamped
+    borders.  x: (n, h, w, c)."""
+    n, h, w, c = x.shape
+
+    def weights(dst, src_size, out_size):
+        scale = src_size / out_size
+        f = (jnp.arange(out_size) + 0.5) * scale - 0.5
+        i0 = jnp.floor(f).astype(jnp.int32)
+        t = f - i0
+        A = -0.75
+        w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+        w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+        t2 = 1 - t
+        w2 = ((A + 2) * t2 - (A + 3)) * t2 * t2 + 1
+        w3 = ((A * (t2 + 1) - 5 * A) * (t2 + 1) + 8 * A) * (t2 + 1) - 4 * A
+        idx = jnp.stack([i0 - 1, i0, i0 + 1, i0 + 2], 1)
+        ws = jnp.stack([w0, w1, w2, w3], 1)
+        return jnp.clip(idx, 0, src_size - 1), ws
+
+    iy, wy = weights(None, h, out_h)
+    ix, wx = weights(None, w, out_w)
+    # rows: (n, out_h, 4, w, c) -> weighted sum
+    rows = jnp.take(x, iy.reshape(-1), axis=1).reshape(n, out_h, 4, w, c)
+    rows = jnp.einsum("nofwc,of->nowc", rows, wy)
+    cols = jnp.take(rows, ix.reshape(-1), axis=2).reshape(
+        n, out_h, out_w, 4, c)
+    return jnp.einsum("nhofc,of->nhoc", cols, wx)
+
+
+@LOSSES.register_module()
+class TransferalPerceptualLoss:
+    """TTSR transferal perceptual loss (reference perceptual_loss.py:212):
+    per-level criterion between attention-weighted feature maps and
+    transferred textures, the soft-attention map bicubically upsampled to
+    each level."""
+
+    def __init__(self, loss_weight=1.0, use_attention=True,
+                 criterion="mse"):
+        self.loss_weight = loss_weight
+        self.use_attention = use_attention
+        criterion = criterion.lower()
+        if criterion == "l1":
+            self.loss_function = lambda a, b: jnp.mean(jnp.abs(a - b))
+        elif criterion == "mse":
+            self.loss_function = lambda a, b: jnp.mean((a - b) ** 2)
+        else:
+            raise ValueError(f"criterion should be 'l1' or 'mse', "
+                             f"got {criterion}")
+
+    def __call__(self, maps, soft_attention, textures):
+        """maps/textures: tuples of (n,h*2^i,w*2^i,c_i); soft_attention:
+        (n,h,w,1)."""
+        if self.use_attention:
+            h, w = soft_attention.shape[1:3]
+            # reference quirk (perceptual_loss.py:249-256): level 0 takes
+            # sigmoid(attention) but levels > 0 upsample the RAW map
+            softs = [jax.nn.sigmoid(soft_attention)]
+            for i in range(1, len(maps)):
+                softs.append(_bicubic_torch_resize(
+                    soft_attention, h * 2 ** i, w * 2 ** i))
+        else:
+            softs = [1.0] * len(maps)
+        loss = 0.0
+        for fmap, soft, texture in zip(maps, softs, textures):
+            loss = loss + self.loss_function(fmap * soft, texture * soft)
+        return loss * self.loss_weight
+
+
+@LOSSES.register_module()
+class LightCNNFeatureLoss:
+    """DICGAN feature loss through a frozen LightCNN trunk
+    (reference feature_loss.py:53).  ``pretrained`` is the converted
+    parameter tree of vmg_tpu.edit.components.LightCNN (no egress exists
+    here for the original checkpoint; conversion goes through
+    vmg_tpu.ckpt.torch_convert machinery)."""
+
+    def __init__(self, pretrained, loss_weight=1.0, criterion="l1"):
+        from vmg_tpu.edit.components import LightCNN
+
+        self.model = LightCNN(3)
+        self.params = pretrained
+        self.loss_weight = loss_weight
+        if criterion == "l1":
+            self.criterion = lambda a, b: jnp.mean(jnp.abs(a - b))
+        elif criterion == "mse":
+            self.criterion = lambda a, b: jnp.mean((a - b) ** 2)
+        else:
+            raise ValueError(f"'criterion' should be 'l1' or 'mse', "
+                             f"got {criterion}")
+
+    def _features(self, x):
+        return self.model.apply(self.params, x, features_only=True)
+
+    def __call__(self, pred, gt):
+        pred_feat = self._features(pred)
+        gt_feat = jax.lax.stop_gradient(self._features(gt))
+        return self.criterion(pred_feat, gt_feat) * self.loss_weight
