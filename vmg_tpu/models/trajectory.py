@@ -215,10 +215,13 @@ class LTAM(nn.Module):
     # reference's 'wins' + en_field path crashes on an undefined variable
     # (trajectory.py:782 ``mid_r``), reproduced as an explicit error
     en_field: bool = False
-    # 'strided': transpose-free window attention (serving fast path);
-    # 'windows': the straightforward window-relayout form (kept as the
-    # equivalence oracle in tests)
-    win_impl: str = "strided"
+    # 'windows': window-relayout attention (the fast path: measured 432 ms
+    # per direction at bench shapes); 'strided': the transpose-free
+    # formulation -- equivalence-tested but 3.2x SLOWER on v5e (XLA
+    # materializes the (n,K,h,w,head,d) broadcasts instead of fusing them
+    # into the mul-reduce; tools/bench_micro.py --what traj), kept as an
+    # option and a future Pallas-fusion target
+    win_impl: str = "windows"
 
     @nn.compact
     def __call__(self, curr, index_buf, anchor, sparse_buf, loc,
@@ -407,7 +410,7 @@ class TrajectoryMultiHead(nn.Module):
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
     # LTAM wins-attention implementation (see LTAM.win_impl)
-    win_impl: str = "strided"
+    win_impl: str = "windows"
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
