@@ -105,3 +105,20 @@ def test_ltam_wins_strided_matches_windows():
     ob = jax.jit(b.apply)(params, curr, index_buf, anchor, sparse_buf, loc)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_conv_pixel_shuffle_matches_conv_then_shuffle():
+    from vmg_tpu.ops.pixel_shuffle import conv_pixel_shuffle, pixel_shuffle
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 16, 48)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((48,)), jnp.float32)
+
+    got = conv_pixel_shuffle(x, kernel, bias, 2)
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    want = pixel_shuffle(ref, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

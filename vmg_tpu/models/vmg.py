@@ -280,6 +280,24 @@ class MlpEncoderStage(nn.Module):
         return out.reshape(B, T, H, W, C)
 
 
+class _ConvPixelShuffle(nn.Module):
+    """3x3 conv + PixelShuffle(2) with the channel reorder folded into the
+    kernel (ops.pixel_shuffle.conv_pixel_shuffle).  Parameter layout is
+    identical to ``nn.Conv(features)`` so checkpoint paths are unchanged."""
+
+    features: int  # conv output channels (C * r^2)
+    r: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", torch_conv_kernel_init(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from vmg_tpu.ops.pixel_shuffle import conv_pixel_shuffle
+
+        return conv_pixel_shuffle(x, kernel, bias, self.r)
+
+
 def _flow_smoothing(flow, region_range: int):
     """Region-average then nearest-upsample the flow field
     (reference function.py:1466-1478).  flow: (B, T, H, W, 2)."""
@@ -389,12 +407,14 @@ class VMG(nn.Module):
                           name=f"recon_trunk{i}_conv2")(res)
             out = out + res
 
-        out = nn.Conv(Cf * 4, (3, 3), padding=1,
-                      kernel_init=torch_conv_kernel_init(), name="upconv1")(out)
-        out = leaky_relu(pixel_shuffle(out, 2), 0.1)
-        out = nn.Conv(64 * 4, (3, 3), padding=1,
-                      kernel_init=torch_conv_kernel_init(), name="upconv2")(out)
-        out = leaky_relu(pixel_shuffle(out, 2), 0.1)
+        # sub-pixel convs with the shuffle's channel reorder folded into
+        # the kernels (coarse-granularity data movement; see
+        # ops.pixel_shuffle.conv_pixel_shuffle).  Param names/layouts match
+        # nn.Conv so torch checkpoints convert unchanged.
+        out = _ConvPixelShuffle(Cf * 4, name="upconv1")(out)
+        out = leaky_relu(out, 0.1)
+        out = _ConvPixelShuffle(64 * 4, name="upconv2")(out)
+        out = leaky_relu(out, 0.1)
         out = nn.Conv(64, (3, 3), padding=1,
                       kernel_init=torch_conv_kernel_init(), name="HRconv")(out)
         out = leaky_relu(out, 0.1)

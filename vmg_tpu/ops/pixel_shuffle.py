@@ -23,6 +23,38 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return y.reshape(*lead, H * r, W * r, C)
 
 
+def conv_pixel_shuffle(x, kernel, bias, r: int,
+                       padding: int = 1) -> jnp.ndarray:
+    """conv2d (NHWC) followed by PixelShuffle(r), with the channel reorder
+    FOLDED INTO THE KERNEL.
+
+    The plain ``pixel_shuffle`` transpose reads channels (c*r^2 + i*r + j)
+    with stride r^2 -- a 2-byte-granularity sublane shuffle that shows up
+    as copy time in the serving trace (NOTES_ROUND3: recon-head
+    pixel-shuffle copies).  Permuting the conv's output channels to
+    ((i*r + j)*C + c) costs nothing (a static kernel permute) and turns
+    the data movement into a coarse transpose whose inner contiguous run
+    is j*C elements.  ``kernel``/``bias`` keep the torch layout
+    (out channel = c*r^2 + i*r + j), so converted checkpoints line up.
+    """
+    import jax
+
+    kh, kw, cin, cr2 = kernel.shape
+    C = cr2 // (r * r)
+    k = kernel.reshape(kh, kw, cin, C, r, r)
+    k = k.transpose(0, 1, 2, 4, 5, 3).reshape(kh, kw, cin, cr2)
+    b = bias.reshape(C, r, r).transpose(1, 2, 0).reshape(cr2)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    N, H, W, _ = y.shape
+    y = y.reshape(N, H, W, r, r, C)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # (N, H, i, W, j, C)
+    return y.reshape(N, H * r, W * r, C)
+
+
 def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """(..., H*r, W*r, C) -> (..., H, W, C*r^2); inverse of pixel_shuffle."""
     *lead, Hr, Wr, C = x.shape
