@@ -279,18 +279,27 @@ class LTAM(nn.Module):
                     curr_n, index_n, samp_sparse.astype(jnp.float32),
                     rpe, slot_decay, scale, n, K, h, w, head, d, wh, ww)
             else:
-                v = _to_key_windows(samp_sparse.astype(jnp.float32), n, K,
-                                    h, w, head, d, wh, ww)
-                q = _to_query_windows(curr_n, n, h, w, head, d, wh, ww)
-                k = _to_key_windows(index_n, n, K, h, w, head, d, wh, ww)
+                # relayout in the NATIVE dtype (bf16 in serving): the window
+                # transposes are the profiled cost of this branch and the
+                # f32 cast doubled their bytes; the einsums accumulate in
+                # f32 regardless (preferred_element_type), and fp32 inputs
+                # keep exact fp32 numerics (dtype-follow)
+                v = _to_key_windows(samp_sparse, n, K, h, w, head, d,
+                                    wh, ww)
+                q = _to_query_windows(curr_n.astype(curr.dtype), n, h, w,
+                                      head, d, wh, ww)
+                k = _to_key_windows(index_n.astype(curr.dtype), n, K, h, w,
+                                    head, d, wh, ww)
                 logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k,
                                     preferred_element_type=jnp.float32)
+                logits = logits.astype(jnp.float32)
                 pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
                 pe = pe.reshape(head, q_n, K * q_n)
                 logits = logits + pe[None, None]
 
                 attn = jax.nn.softmax(logits, axis=-1)
-                out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v,
+                out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn,
+                                 v.astype(jnp.float32),
                                  preferred_element_type=jnp.float32)
                 nh, nw = h // wh, w // ww
                 out = out.reshape(n, nh, nw, head, wh, ww, d)
