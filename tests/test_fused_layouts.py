@@ -122,3 +122,33 @@ def test_conv_pixel_shuffle_matches_conv_then_shuffle():
     want = pixel_shuffle(ref, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode,en_field", [("wins", False), ("max", False),
+                                           ("max", True)])
+def test_trajectory_warped_carry_matches_loc_carry(mode, en_field):
+    """'warped' carry (nearest-warped buffer copies, one wide warp/step)
+    must equal the reference-shaped 'loc' carry exactly: nearest
+    resampling composes, and values are never interpolated."""
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    rng = np.random.default_rng(11)
+    B, T, H, W, C = 1, 7, 16, 16, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    ff = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+    fb = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+
+    def mk(impl):
+        return TrajectoryMultiHead(
+            embed_dim=C, num_blocks=2, keyframe_stride=3, head=4,
+            mode=mode, r_scaling=0.1, ltam=True, en_field=en_field,
+            field_stride=4, carry_impl=impl)
+
+    a, b = mk("loc"), mk("warped")
+    params = jax.jit(a.init)(jax.random.key(12), x, ff, fb)
+    oa = jax.jit(a.apply)(params, x, ff, fb)
+    ob = jax.jit(b.apply)(params, x, ff, fb)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                               atol=2e-5, rtol=2e-5)

@@ -222,6 +222,12 @@ class LTAM(nn.Module):
     # into the mul-reduce; tools/bench_micro.py --what traj), kept as an
     # option and a future Pallas-fusion target
     win_impl: str = "windows"
+    # presampled=True: the recurrence carries WARPED buffer copies (see
+    # TrajectoryMultiHead carry_impl='warped'), so sparse_buf/index_buf/
+    # sparse_s2/s3 arrive already resampled with shape (n, h, w, K, c) and
+    # loc is ignored.  presampled=False keeps the reference-shaped gather
+    # of (n, K, h, w, c) buffers at per-slot locations.
+    presampled: bool = False
 
     @nn.compact
     def __call__(self, curr, index_buf, anchor, sparse_buf, loc,
@@ -230,7 +236,6 @@ class LTAM(nn.Module):
         loc: (n,K,h,w,2) absolute pixel coords; sparse_s2/s3: optional
         en_field context buffers (n,K,h,w,c)."""
         n, h, w, c = curr.shape
-        K = sparse_buf.shape[1]
         head = self.head
         d = c // head
 
@@ -243,20 +248,36 @@ class LTAM(nn.Module):
 
         scale = (d ** -0.5) if (self.if_scale and self.mode == "wins") else 1.0
 
-        # all buffers share indices: one fused wide gather (TPU gather cost
-        # is per-element but the fused form fuses surrounding ops better;
-        # measured faster than split)
-        parts = [sparse_buf, index_buf]
-        if self.en_field and sparse_s2 is not None:
-            parts += [sparse_s2, sparse_s3]
-        both = jnp.concatenate(parts, axis=-1)
-        nc = both.shape[-1]
-        samp = _loc_grid_sample(
-            both.reshape(n * K, h, w, nc),
-            loc.reshape(n * K, h, w, 2), h, w,
-        ).reshape(n, K, h, w, nc)
-        samp_sparse = samp[..., :c]
-        samp_index = samp[..., c:2 * c]
+        if self.presampled:
+            # buffers arrive (n, h, w, K, c) -- already warped along the
+            # trajectory; bring them to the (n, K, h, w, c) layout the
+            # attention code uses (XLA fuses this into the consumers)
+            K = sparse_buf.shape[3]
+            samp_sparse = sparse_buf.transpose(0, 3, 1, 2, 4)
+            samp_index = index_buf.transpose(0, 3, 1, 2, 4)
+            samp_extra = [
+                v.transpose(0, 3, 1, 2, 4)
+                for v in (sparse_s2, sparse_s3) if v is not None
+            ]
+        else:
+            K = sparse_buf.shape[1]
+            # all buffers share indices: one fused wide gather (TPU gather
+            # cost is per-element but the fused form fuses surrounding ops
+            # better; measured faster than split)
+            parts = [sparse_buf, index_buf]
+            if self.en_field and sparse_s2 is not None:
+                parts += [sparse_s2, sparse_s3]
+            both = jnp.concatenate(parts, axis=-1)
+            nc = both.shape[-1]
+            samp = _loc_grid_sample(
+                both.reshape(n * K, h, w, nc),
+                loc.reshape(n * K, h, w, 2), h, w,
+            ).reshape(n, K, h, w, nc)
+            samp_sparse = samp[..., :c]
+            samp_index = samp[..., c:2 * c]
+            samp_extra = [samp[..., (2 + j) * c: (3 + j) * c]
+                          for j in range(2)] if (
+                self.en_field and sparse_s2 is not None) else []
 
         if self.mode == "wins":
             wh, ww = self.twins
@@ -322,8 +343,7 @@ class LTAM(nn.Module):
                 # and fuse [s1, s2, s3] before the corr_soft scaling
                 # (reference forward_max:651-667)
                 outs = [gathered.reshape(n, h, w, c)]
-                for j in range(2):
-                    vj = samp[..., (2 + j) * c : (3 + j) * c]
+                for vj in samp_extra:
                     vj = vj.reshape(n, K, h * w, head, d).astype(jnp.float32)
                     gj = jnp.take_along_axis(
                         vj, corr_idx[:, None, :, :, None], axis=1)[:, 0]
@@ -346,10 +366,23 @@ class LTAM(nn.Module):
 class _TrajStep(nn.Module):
     """One recurrence step, nn.scan-ed over a constant-count segment.
 
-    The slot count c is derived from the shapes of the (scan-constant)
-    keyframe buffers, so ONE shared instance (name ``step``) serves every
-    segment and both directions.  c == 0 is the first step: no warp
-    history, no LTAM (reference ``trajectory.py:324-333`` i > 0 branch).
+    The slot count is derived from shapes, so ONE shared instance (name
+    ``step``) serves every segment and both directions.  Slot count 0 is
+    the first step: no warp history, no LTAM (reference
+    ``trajectory.py:324-333`` i > 0 branch).
+
+    Two carry disciplines (TrajectoryMultiHead.carry_impl):
+
+    * ``'warped'`` (default): carry the keyframe buffers THEMSELVES,
+      nearest-warped along the trajectory.  Nearest resampling composes
+      exactly -- ``gather(buf, loc_t) == warp(gather(buf, loc_{t-1}),
+      flow_t)`` since location maps hold in-range coords of the original
+      grid -- so per step ONE (H, W, K*S*C)-channel nearest warp replaces
+      K per-slot 448-byte-row gathers: ~S*K*C-element rows amortize the
+      TPU gather's per-row cost (the profiled LTAM bottleneck,
+      NOTES_ROUND3: gathers at 25-30 GB/s).
+    * ``'loc'``: the reference-shaped discipline -- carry per-slot integer
+      location maps and gather the (scan-constant) buffers each step.
     """
 
     embed_dim: int
@@ -357,29 +390,51 @@ class _TrajStep(nn.Module):
     r_scaling: float
     ltam: bool
     ltam_cfg: dict
+    carry_impl: str = "warped"
 
     @nn.compact
     def __call__(self, carry, xs, sparse_buf, index_buf, sparse_s2,
                  sparse_s3):
-        feat_prop, loc = carry  # (B,H,W,C), (B,c,H,W,2)
         lr = xs["feat"]
         flow = xs["flow"]
         B, H, W, C = lr.shape
-        c = loc.shape[1]
+        en_field = self.ltam_cfg.get("en_field", False)
 
-        if c:  # steps after the first: warp history + attend
-            feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
-            flow_rep = jnp.broadcast_to(flow[:, None], (B, c, H, W, 2))
-            loc = flow_warp(
-                loc.reshape(B * c, H, W, 2), flow_rep.reshape(B * c, H, W, 2),
-                "nearest", "border",
-            ).reshape(B, c, H, W, 2)
-            if self.ltam:
-                feat_prop = LTAM(
-                    embed_dim=self.embed_dim, **self.ltam_cfg,
-                    keys_prenormalized=True, name="LTAM",
-                )(lr, index_buf, feat_prop, sparse_buf, loc,
-                  sparse_s2=sparse_s2, sparse_s3=sparse_s3)
+        if self.carry_impl == "warped":
+            feat_prop, warped = carry  # (B,H,W,C), (B,H,W,K*S*C)
+            S = 4 if en_field else 2
+            K = warped.shape[-1] // (S * C)
+            if K:
+                feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
+                warped = flow_warp(warped, flow, "nearest", "border")
+                if self.ltam:
+                    w5 = warped.reshape(B, H, W, K, S * C)
+                    feat_prop = LTAM(
+                        embed_dim=self.embed_dim, **self.ltam_cfg,
+                        keys_prenormalized=True, presampled=True,
+                        name="LTAM",
+                    )(lr, w5[..., C:2 * C], feat_prop, w5[..., :C], None,
+                      sparse_s2=w5[..., 2 * C:3 * C] if en_field else None,
+                      sparse_s3=w5[..., 3 * C:4 * C] if en_field else None)
+            rest = warped
+        else:
+            feat_prop, loc = carry  # (B,H,W,C), (B,c,H,W,2)
+            c = loc.shape[1]
+            if c:  # steps after the first: warp history + attend
+                feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
+                flow_rep = jnp.broadcast_to(flow[:, None], (B, c, H, W, 2))
+                loc = flow_warp(
+                    loc.reshape(B * c, H, W, 2),
+                    flow_rep.reshape(B * c, H, W, 2),
+                    "nearest", "border",
+                ).reshape(B, c, H, W, 2)
+                if self.ltam:
+                    feat_prop = LTAM(
+                        embed_dim=self.embed_dim, **self.ltam_cfg,
+                        keys_prenormalized=True, name="LTAM",
+                    )(lr, index_buf, feat_prop, sparse_buf, loc,
+                      sparse_s2=sparse_s2, sparse_s3=sparse_s3)
+            rest = loc
 
         feat_prop = ResidualBlocksWithInputConv(
             self.embed_dim, self.num_blocks, self.r_scaling, name="resblocks"
@@ -389,7 +444,7 @@ class _TrajStep(nn.Module):
         # input, fp32 params) the conv output promotes to fp32 and the
         # scan would reject the carry
         feat_prop = feat_prop.astype(lr.dtype)
-        return (feat_prop, loc), feat_prop
+        return (feat_prop, rest), feat_prop
 
 
 class TrajectoryMultiHead(nn.Module):
@@ -420,6 +475,11 @@ class TrajectoryMultiHead(nn.Module):
     remat: bool = False
     # LTAM wins-attention implementation (see LTAM.win_impl)
     win_impl: str = "windows"
+    # recurrence carry discipline (see _TrajStep): 'warped' carries the
+    # nearest-warped keyframe buffers (one wide-row warp per step, the
+    # serving fast path); 'loc' carries per-slot location maps and gathers
+    # the static buffers each step (reference-shaped; equivalence oracle)
+    carry_impl: str = "warped"
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
@@ -469,6 +529,7 @@ class TrajectoryMultiHead(nn.Module):
                 en_field=self.en_field,
                 win_impl=self.win_impl,
             ),
+            carry_impl=self.carry_impl,
             name="step",
         )
 
@@ -486,6 +547,8 @@ class TrajectoryMultiHead(nn.Module):
                               jnp.arange(W, dtype=jnp.float32), indexing="ij")
         ident = jnp.stack([gx, gy], -1)[None, None]  # (1, 1, H, W, 2)
 
+        warped_mode = self.carry_impl == "warped"
+
         def run_direction(feats_dir, flows_dir):
             """feats_dir: (T, N, H, W, C); flows_dir: (T, N, H, W, 2)
             (flows_dir[0] is zero; step s >= 1 warps with flows_dir[s])."""
@@ -496,27 +559,43 @@ class TrajectoryMultiHead(nn.Module):
             sparse = jnp.zeros((N, 0, H, W, C), x.dtype)
             index = jnp.zeros((N, 0, H, W, C), x.dtype)
             s2 = s3 = jnp.zeros((N, 0, H, W, C), x.dtype)
+            warped = jnp.zeros((N, H, W, 0), x.dtype)
             outs = []
             for a, b in segments:
                 xs = {"feat": feats_dir[a:b + 1], "flow": flows_dir[a:b + 1]}
-                (feat_prop, loc), ys = step((feat_prop, loc), xs,
-                                            sparse, index, s2, s3)
+                rest = warped if warped_mode else loc
+                (feat_prop, rest), ys = step((feat_prop, rest), xs,
+                                             sparse, index, s2, s3)
+                if warped_mode:
+                    warped = rest
+                else:
+                    loc = rest
                 outs.append(ys)
-                if b % stride == 0:  # keyframe: append buffers + loc slot
-                    sparse = jnp.concatenate([sparse, ys[-1][:, None]], axis=1)
+                if b % stride == 0:  # keyframe: append a slot
                     # keys pre-normalized once here instead of per step
                     kf_norm = _normalize(
                         feats_dir[b].astype(jnp.float32)).astype(x.dtype)
-                    index = jnp.concatenate([index, kf_norm[:, None]], axis=1)
-                    loc = jnp.concatenate([loc, grid0], axis=1)
+                    fields = ()
                     if self.en_field:
                         fs = self.field_stride
-                        s2 = jnp.concatenate(
-                            [s2, _field_context(ys[-1], fs, 1.5)[:, None]],
-                            axis=1)
-                        s3 = jnp.concatenate(
-                            [s3, _field_context(ys[-1], fs, 2.0)[:, None]],
-                            axis=1)
+                        fields = (_field_context(ys[-1], fs, 1.5),
+                                  _field_context(ys[-1], fs, 2.0))
+                    if warped_mode:
+                        # new slot starts un-warped (identity locations)
+                        entry = jnp.concatenate(
+                            (ys[-1], kf_norm) + fields, axis=-1)
+                        warped = jnp.concatenate([warped, entry], axis=-1)
+                    else:
+                        sparse = jnp.concatenate(
+                            [sparse, ys[-1][:, None]], axis=1)
+                        index = jnp.concatenate(
+                            [index, kf_norm[:, None]], axis=1)
+                        loc = jnp.concatenate([loc, grid0], axis=1)
+                        if self.en_field:
+                            s2 = jnp.concatenate(
+                                [s2, fields[0][:, None]], axis=1)
+                            s3 = jnp.concatenate(
+                                [s3, fields[1][:, None]], axis=1)
             return jnp.concatenate(outs, axis=0)
 
         zero_flow = jnp.zeros((1, B, H, W, 2), jnp.float32)
