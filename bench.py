@@ -51,6 +51,11 @@ def main():
 
     T, H, W = 16, 180, 320
 
+    # serving fast-math: tanh GELU (difference from the erf form is far
+    # below bf16 rounding; see models/blocks.py set_fast_gelu)
+    from vmg_tpu.models.blocks import set_fast_gelu
+    set_fast_gelu(True)
+
     model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((1, T, H, W, 3), dtype=np.float32))

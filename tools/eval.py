@@ -35,6 +35,10 @@ def main():
     p.add_argument("--device-tiles", action="store_true",
                    help="run the spatial tile loop on-device in one jitted "
                         "call (no host round-trip per tile)")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="serving fast-math: tanh-approximate GELU (error "
+                        "far below bf16 rounding; off by default to keep "
+                        "bit-parity with the torch reference)")
     args = p.parse_args()
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
@@ -50,6 +54,10 @@ def main():
     from vmg_tpu.utils import setup_logger, AverageMeter
     from vmg_tpu.ckpt import restore_checkpoint
     from vmg_tpu.ckpt.torch_convert import convert_torch_state_dict
+
+    if args.fast_gelu:
+        from vmg_tpu.models.blocks import set_fast_gelu
+        set_fast_gelu(True)
 
     cfg = load_config(args.config, is_train=False)
     logger = setup_logger("base", cfg.path.output_dir, "eval")

@@ -80,6 +80,20 @@ def main():
         p = cast_params_for_compute(p, jnp.bfloat16)
         fn = jax.jit(m.apply)
         fargs = (p, x)
+    elif args.what == "tab":
+        from vmg_tpu.models.blocks import TAB
+        m = TAB(dim=C0, chunk_h=int(45 * 0.125), chunk_w=int(80 * 0.125),
+                mlp_ratio=6.0, n_groups=4, qkv_bias=True, if_decay=True,
+                non_linear=True, gating=True, symm=True, symm_act="tanh",
+                relu_scale=True, relu_scale_norm=False, ffn_type="ffn_cnn",
+                mixer_type="mlps", mixer_n=None, mixer_scaling=1.0,
+                channel_mixer="rcab")
+        x = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
+                        jnp.bfloat16)
+        p = jax.jit(lambda k, v: m.init(k, v, True))(jax.random.key(2), x)
+        p = cast_params_for_compute(p, jnp.bfloat16)
+        fn = jax.jit(lambda p_, v: m.apply(p_, v, True))
+        fargs = (p, x)
     elif args.what == "traj":
         from vmg_tpu.models.trajectory import TrajectoryMultiHead
         traj = TrajectoryMultiHead(embed_dim=C0, num_blocks=15,

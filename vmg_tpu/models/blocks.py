@@ -22,9 +22,28 @@ import flax.linen as nn
 from vmg_tpu.models.norms import TorchLayerNorm, RMSNorm
 from vmg_tpu.ops.decay import morphfc_decay_matrix
 
-# torch nn.GELU default is the exact erf form
+# torch nn.GELU default is the exact erf form; that is the numerical
+# contract all golden tests pin.  For bf16 serving, the erf polynomial is
+# pure VPU time (~6 ms per stage-0 FFN activation, profiled) while its
+# difference from the tanh form (<1.1e-3 absolute, at |x|~2.3) is far
+# below bf16's own ~4e-3 relative rounding -- so serving entry points may
+# opt in to the tanh approximation.  Trace-time constant: flip it BEFORE
+# jitting (bench.py / eval serving paths do).
+_GELU_APPROXIMATE = False
+
+
+def set_fast_gelu(on: bool) -> bool:
+    """Use tanh-approximate GELU in subsequently traced models.  Returns
+    the previous setting.  Serving-only: leave off wherever bit-parity
+    with the torch reference matters (all tests leave it off)."""
+    global _GELU_APPROXIMATE
+    prev = _GELU_APPROXIMATE
+    _GELU_APPROXIMATE = bool(on)
+    return prev
+
+
 def gelu_exact(x):
-    return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=_GELU_APPROXIMATE)
 
 
 def leaky_relu(x, slope=0.01):
@@ -112,13 +131,25 @@ class Mlp(nn.Module):
 
 
 class GroupedConv3x3(nn.Module):
-    """Grouped 3x3 conv computed as per-group convs.
+    """Grouped 3x3 conv computed without XLA's feature_group_count.
 
     XLA's TPU lowering of feature_group_count produced NaNs for the
     stage-2 shape of the full model (groups=4, 224->1344 at 16x16) on
-    v5e; per-group lax convs are mathematically identical and avoid that
-    path.  Param layout matches nn.Conv(feature_group_count=g): kernel
-    (3, 3, Cin/g, Cout), bias (Cout,).
+    v5e (and was measured slower than per-group convs where correct), so
+    the op is built from plain convs.  Param layout matches
+    nn.Conv(feature_group_count=g): kernel (3, 3, Cin/g, Cout), bias
+    (Cout,).
+
+    Two mathematically identical forms, chosen by shape:
+
+    * ``Cin <= 128`` (the stage-0/6 family, Cin/g = 28): ONE dense conv
+      with a block-diagonal kernel -- zeros outside each group's
+      (Cin/g, Cout/g) block.  The per-group form's 28-deep contraction
+      uses 28/128 of the MXU's sublanes (profiled ~26 TFLOP/s); the
+      dense form pays g x the FLOPs in exact zeros but contracts over
+      all Cin <= one full tile (~150 TFLOP/s), ~2x faster end-to-end.
+    * wider inputs: per-group convs (the g x FLOPs would outweigh the
+      tiling win once Cin/g >= 56).
     """
 
     features: int
@@ -128,14 +159,26 @@ class GroupedConv3x3(nn.Module):
     def __call__(self, y):
         N, H, W, C = y.shape
         g = self.groups
-        kernel = self.param("kernel", torch_conv_kernel_init(),
-                            (3, 3, C // g, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        cg_in = C // g
         cg_out = self.features // g
+        kernel = self.param("kernel", torch_conv_kernel_init(),
+                            (3, 3, cg_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if C <= 128:
+            blocks = jnp.zeros((3, 3, C, self.features), kernel.dtype)
+            for gi in range(g):
+                blocks = blocks.at[
+                    :, :, gi * cg_in:(gi + 1) * cg_in,
+                    gi * cg_out:(gi + 1) * cg_out,
+                ].set(kernel[..., gi * cg_out:(gi + 1) * cg_out])
+            return jax.lax.conv_general_dilated(
+                y, blocks, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
         outs = []
         for gi in range(g):
             outs.append(jax.lax.conv_general_dilated(
-                y[..., gi * (C // g):(gi + 1) * (C // g)],
+                y[..., gi * cg_in:(gi + 1) * cg_in],
                 kernel[..., gi * cg_out:(gi + 1) * cg_out],
                 window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
