@@ -124,6 +124,127 @@ def test_conv_pixel_shuffle_matches_conv_then_shuffle():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_pallas_ltam_attention_matches_windows_math():
+    """The fused Pallas kernel == the XLA windows formulation (fp32,
+    interpret mode on CPU)."""
+    from vmg_tpu.models.trajectory import (
+        _normalize, _to_key_windows, _to_query_windows)
+    from vmg_tpu.ops.ltam_attention import ltam_attention_2x2
+
+    rng = np.random.default_rng(21)
+    n, K, h, w, C, heads = 2, 3, 8, 12, 16, 4
+    d = C // heads
+    scale = d ** -0.5
+    curr = jnp.asarray(rng.standard_normal((n, h, w, C)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((n, K, h, w, C)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((n, K, h, w, C)), jnp.float32)
+    rpe = jnp.asarray(rng.standard_normal((heads, 4, 4)) * 0.5, jnp.float32)
+
+    decay_v = 1.0 - 2.0 ** (-5.0 - jnp.arange(heads - 1, -1, -1,
+                                              dtype=jnp.float32))
+    expo = (K - jnp.arange(K)).astype(jnp.float32)
+    slot_decay = jnp.power(decay_v[:, None], expo[None, :])  # (e, K)
+
+    # reference: the windows-layout attention exactly as LTAM computes it
+    q_n = 4
+    curr_n = _normalize(curr)
+    keys_n = _normalize(keys)
+    vw = _to_key_windows(vals, n, K, h, w, heads, d, 2, 2)
+    qw = _to_query_windows(curr_n, n, h, w, heads, d, 2, 2)
+    kw = _to_key_windows(keys_n, n, K, h, w, heads, d, 2, 2)
+    logits = jnp.einsum("bwhqd,bwhkd->bwhqk", qw * scale, kw)
+    pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
+    logits = logits + pe.reshape(heads, q_n, K * q_n)[None, None]
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, vw)
+    nh, nw = h // 2, w // 2
+    out = out.reshape(n, nh, nw, heads, 2, 2, d)
+    want = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, C)
+
+    # kernel inputs: padded lanes + [value|key] slot layout + exp(pe)
+    def pad128(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 128 - C)])
+
+    qk = pad128(curr_n * scale)
+    kv = jnp.stack([pad128(vals), pad128(keys_n)], axis=-2)  # (n,K,h,w,2,128)
+    kv = kv.transpose(0, 2, 3, 1, 4, 5).reshape(n, h, w, K * 256)
+    # pe factors [slot k, key tap t, query pos p, head e]
+    pef = jnp.exp(jnp.einsum("ek,ept->ktpe", slot_decay, rpe))
+    got = ltam_attention_2x2(qk, kv, pef, K=K, heads=heads, C=C,
+                             interpret=True)[..., :C]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_trajectory_pallas_attention_matches_windows_impl():
+    """Full trajectory module: win_impl='pallas' (interpret) == 'windows'
+    on the same params -- covers the lane-aligned carry layout, the
+    padded keyframe appends, and the kernel itself end-to-end."""
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    rng = np.random.default_rng(17)
+    B, T, H, W, C = 1, 7, 8, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    ff = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+    fb = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+
+    def mk(impl, interp=False):
+        return TrajectoryMultiHead(
+            embed_dim=C, num_blocks=2, keyframe_stride=3, head=4,
+            mode="wins", r_scaling=0.1, ltam=True, carry_impl="warped",
+            win_impl=impl, pallas_interpret=interp)
+
+    a, b = mk("windows"), mk("pallas", interp=True)
+    params = jax.jit(a.init)(jax.random.key(18), x, ff, fb)
+    oa = jax.jit(a.apply)(params, x, ff, fb)
+    ob = jax.jit(b.apply)(params, x, ff, fb)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_grouped_conv_blockdiag_matches_pergroup():
+    """Cin <= 128 uses ONE dense conv with a block-diagonal kernel; the
+    off-block terms are exact zeros so it must match the per-group form."""
+    from vmg_tpu.models.blocks import GroupedConv3x3
+
+    rng = np.random.default_rng(9)
+    x112 = jnp.asarray(rng.standard_normal((2, 10, 12, 112)), jnp.float32)
+    m = GroupedConv3x3(672, 4)
+    p = jax.jit(m.init)(jax.random.key(10), x112)
+    got = jax.jit(m.apply)(p, x112)
+
+    # reference: plain per-group convs on the same params
+    k = p["params"]["kernel"]
+    b = p["params"]["bias"]
+    outs = []
+    for gi in range(4):
+        outs.append(jax.lax.conv_general_dilated(
+            x112[..., gi * 28:(gi + 1) * 28], k[..., gi * 168:(gi + 1) * 168],
+            (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    want = jnp.concatenate(outs, -1) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fast_gelu_switch_close_and_restores():
+    from vmg_tpu.models.blocks import gelu_exact, set_fast_gelu
+
+    x = jnp.linspace(-6, 6, 1001, dtype=jnp.float32)
+    exact = np.asarray(gelu_exact(x))
+    prev = set_fast_gelu(True)
+    try:
+        assert prev is False
+        fast = np.asarray(gelu_exact(x))
+    finally:
+        set_fast_gelu(prev)
+    # known max deviation of the tanh form is ~1.1e-3 near |x| ~ 2.3
+    assert np.max(np.abs(exact - fast)) < 2e-3
+    assert np.max(np.abs(exact - np.asarray(gelu_exact(x)))) == 0.0
+
+
 @pytest.mark.parametrize("mode,en_field", [("wins", False), ("max", False),
                                            ("max", True)])
 def test_trajectory_warped_carry_matches_loc_carry(mode, en_field):

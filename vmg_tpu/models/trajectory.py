@@ -228,16 +228,49 @@ class LTAM(nn.Module):
     # loc is ignored.  presampled=False keeps the reference-shaped gather
     # of (n, K, h, w, c) buffers at per-slot locations.
     presampled: bool = False
+    # run the fused kv_packed attention kernel in Pallas interpret mode
+    # (CPU equivalence tests only)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, curr, index_buf, anchor, sparse_buf, loc,
-                 sparse_s2=None, sparse_s3=None):
+                 sparse_s2=None, sparse_s3=None, kv_packed=None):
         """curr/anchor: (n,h,w,c); index/sparse bufs: (n,K,h,w,c);
         loc: (n,K,h,w,2) absolute pixel coords; sparse_s2/s3: optional
-        en_field context buffers (n,K,h,w,c)."""
+        en_field context buffers (n,K,h,w,c).
+
+        ``kv_packed`` (win_impl='pallas' fast path): instead of
+        index/sparse bufs, the warped keyframe buffers in the
+        lane-aligned layout of ops/ltam_attention -- (n, h, w, K*2*CP)
+        with per slot CP value lanes then CP normalized-key lanes,
+        CP = ceil(c/128)*128, zero-padded beyond c."""
         n, h, w, c = curr.shape
         head = self.head
         d = c // head
+
+        if kv_packed is not None:
+            if self.mode != "wins" or tuple(self.twins) != (2, 2):
+                raise ValueError("kv_packed needs mode='wins', twins=(2,2)")
+            from vmg_tpu.ops.ltam_attention import ltam_attention_2x2, cpad
+            CP = cpad(c)
+            K = kv_packed.shape[-1] // (2 * CP)
+            scale = (d ** -0.5) if self.if_scale else 1.0
+            rpe = self.param("relative_pos_encoding", trunc_normal_init(),
+                             (head, 4, 4))
+            decay_v = 1.0 - 2.0 ** (-5.0 - jnp.arange(head - 1, -1, -1,
+                                                      dtype=jnp.float32))
+            expo = (K - jnp.arange(K)).astype(jnp.float32)
+            slot_decay = jnp.power(decay_v[:, None], expo[None, :])
+            pef = jnp.exp(jnp.einsum("ek,ept->ktpe", slot_decay,
+                                     rpe.astype(jnp.float32)))
+            q = _normalize(curr.astype(jnp.float32)) * scale
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, CP - c)))
+            out = ltam_attention_2x2(
+                q, kv_packed, pef, K=K, heads=head, C=c,
+                interpret=self.pallas_interpret)[..., :c]
+            out = nn.Dense(self.embed_dim, kernel_init=trunc_normal_init(),
+                           name="proj")(out)
+            return (out + anchor.astype(jnp.float32)).astype(curr.dtype)
 
         if self.en_field and self.mode == "wins":
             raise NotImplementedError(
@@ -391,6 +424,11 @@ class _TrajStep(nn.Module):
     ltam: bool
     ltam_cfg: dict
     carry_impl: str = "warped"
+    # lane-aligned buffer layout + fused Pallas attention (see
+    # TrajectoryMultiHead.win_impl='auto'): the carried buffer holds, per
+    # slot, CP=cpad(C) value lanes then CP normalized-key lanes
+    pallas_attn: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, carry, xs, sparse_buf, index_buf, sparse_s2,
@@ -400,7 +438,22 @@ class _TrajStep(nn.Module):
         B, H, W, C = lr.shape
         en_field = self.ltam_cfg.get("en_field", False)
 
-        if self.carry_impl == "warped":
+        if self.carry_impl == "warped" and self.pallas_attn:
+            from vmg_tpu.ops.ltam_attention import cpad
+            feat_prop, warped = carry  # (B,H,W,C), (B,H,W,K*2*CP)
+            K = warped.shape[-1] // (2 * cpad(C))
+            if K:
+                feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
+                warped = flow_warp(warped, flow, "nearest", "border")
+                if self.ltam:
+                    feat_prop = LTAM(
+                        embed_dim=self.embed_dim, **self.ltam_cfg,
+                        keys_prenormalized=True, presampled=True,
+                        pallas_interpret=self.pallas_interpret,
+                        name="LTAM",
+                    )(lr, None, feat_prop, None, None, kv_packed=warped)
+            rest = warped
+        elif self.carry_impl == "warped":
             feat_prop, warped = carry  # (B,H,W,C), (B,H,W,K*S*C)
             S = 4 if en_field else 2
             K = warped.shape[-1] // (S * C)
@@ -473,8 +526,16 @@ class TrajectoryMultiHead(nn.Module):
     field_stride: int = 4
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
-    # LTAM wins-attention implementation (see LTAM.win_impl)
+    # LTAM wins-attention implementation (see LTAM.win_impl).  'auto'
+    # resolves to the fused Pallas kernel (ops/ltam_attention) when the
+    # shape family supports it AND the runtime backend is TPU; 'pallas'
+    # forces the kernel; 'windows'/'strided' are the XLA formulations.
+    # The kernel path is forward-only (no custom VJP) -- training steps
+    # must use 'windows' (MlpEncoderStage passes 'auto' only when
+    # deterministic).
     win_impl: str = "windows"
+    # run the Pallas kernel in interpret mode (CPU equivalence tests)
+    pallas_interpret: bool = False
     # recurrence carry discipline (see _TrajStep): 'warped' carries the
     # nearest-warped keyframe buffers (one wide-row warp per step, the
     # serving fast path); 'loc' carries per-slot location maps and gathers
@@ -507,6 +568,21 @@ class TrajectoryMultiHead(nn.Module):
         B, T, H, W, C = x.shape
         stride = self.keyframe_stride
 
+        # resolve 'auto'/'pallas' -> the fused lane-aligned attention
+        # kernel (forward-only; 'auto' additionally requires the TPU
+        # backend so CPU tests/dryruns keep the XLA windows path)
+        pallas_attn = (
+            self.carry_impl == "warped" and self.mode == "wins"
+            and self.ltam and not self.en_field
+            and tuple(self.twins) == (2, 2)
+            and H % 2 == 0 and W % 2 == 0
+            and (self.win_impl == "pallas"
+                 or (self.win_impl == "auto"
+                     and jax.default_backend() == "tpu"))
+        )
+        win_impl = self.win_impl if self.win_impl in ("windows", "strided") \
+            else "windows"
+
         step_cls = nn.remat(_TrajStep, prevent_cse=False) if self.remat \
             else _TrajStep
         step = nn.scan(
@@ -527,9 +603,11 @@ class TrajectoryMultiHead(nn.Module):
                 if_scale=self.head_scale,
                 twins=tuple(self.twins),
                 en_field=self.en_field,
-                win_impl=self.win_impl,
+                win_impl=win_impl,
             ),
             carry_impl=self.carry_impl,
+            pallas_attn=pallas_attn,
+            pallas_interpret=self.pallas_interpret,
             name="step",
         )
 
@@ -580,7 +658,16 @@ class TrajectoryMultiHead(nn.Module):
                         fs = self.field_stride
                         fields = (_field_context(ys[-1], fs, 1.5),
                                   _field_context(ys[-1], fs, 2.0))
-                    if warped_mode:
+                    if warped_mode and pallas_attn:
+                        # lane-aligned slot entry: CP value lanes then CP
+                        # key lanes, zero-padded (ops/ltam_attention)
+                        from vmg_tpu.ops.ltam_attention import cpad
+                        padw = ((0, 0),) * 3 + ((0, cpad(C) - C),)
+                        entry = jnp.concatenate(
+                            (jnp.pad(ys[-1], padw), jnp.pad(kf_norm, padw)),
+                            axis=-1)
+                        warped = jnp.concatenate([warped, entry], axis=-1)
+                    elif warped_mode:
                         # new slot starts un-warped (identity locations)
                         entry = jnp.concatenate(
                             (ys[-1], kf_norm) + fields, axis=-1)

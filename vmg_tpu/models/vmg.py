@@ -225,6 +225,10 @@ class MlpEncoderStage(nn.Module):
                 ltam=cfg.ltam,
                 traj_win=sp(cfg.traj_win),
                 remat=cfg.remat and not deterministic,
+                # serving fast path: the fused Pallas LTAM attention has
+                # no VJP, so only forward-only (deterministic) traces may
+                # resolve to it; training keeps the XLA windows form
+                win_impl="auto" if deterministic else "windows",
                 name="traj_mixing",
             )(x, flow_forward, flow_backward)
         return x
