@@ -44,11 +44,21 @@ def make_train_step(
     batch: {'LRs': (B, T, h, w, 3), 'HRs': (B, T, 4h, 4w, 3)} where B is
     the EFFECTIVE update batch (the reference's ``total_batch``).  With
     grad_acc > 1, B must be divisible by grad_acc; microbatches of
-    B/grad_acc (= the reference's ``batch_size``) run sequentially under
-    lax.scan and gradients average -- one optimizer update per total_batch,
-    matching the reference's accumulation loop (``tools/train.py:155-162``)
-    while peak memory stays at the microbatch level.  The caller groups
-    loader draws to B via ``vmg_tpu.data.loader.accumulate_batches``.
+    B/grad_acc (= the reference's ``batch_size``) run sequentially and
+    gradients average -- one optimizer update per total_batch, matching
+    the reference's accumulation loop (``tools/train.py:155-162``) while
+    peak memory stays at the microbatch level.  The caller groups loader
+    draws to B via ``vmg_tpu.data.loader.accumulate_batches``.
+
+    Microbatch i takes the strided rows ``[i::grad_acc]``: the update is
+    the mean of per-sample grads, so grouping is irrelevant to the
+    result, and the strided split keeps every device's rows its own
+    under a data-sharded jit (a contiguous ``[i*mb:(i+1)*mb]`` split
+    re-distributes rows across devices).  Small grad_acc (<= 4) unrolls
+    the accumulation in Python -- measured 6-8x faster at runtime than
+    the lax.scan form on XLA:CPU (while-body execution overhead), same
+    numerics and add order; larger grad_acc uses lax.scan to keep
+    compile time bounded.
 
     ``frames_mirror``: set True when the dataset mirror-extends every clip
     (``use_mirrors``): the backward flow reuses the flipped forward flow,
@@ -85,21 +95,41 @@ def make_train_step(
         else:
             B = lrs.shape[0]
             mb = B // grad_acc
-            lrs_mb = lrs.reshape(grad_acc, mb, *lrs.shape[1:])
-            hrs_mb = hrs.reshape(grad_acc, mb, *hrs.shape[1:])
             rngs = jax.random.split(rng, grad_acc)
+            # Strided split via reshape(mb, grad_acc)+swapaxes: microbatch
+            # i = rows [i::grad_acc].  GSPMD keeps this split shard-local
+            # (each device's rows stay its own); a direct strided slice
+            # lrs[i::grad_acc] of the data-sharded axis makes the
+            # partitioner replicate the whole microbatch computation onto
+            # every device (measured: per-device conv batch = mb instead
+            # of mb/n_data, 8x redundant work on an 8-mesh).
+            lrs_mb = jnp.swapaxes(
+                lrs.reshape(mb, grad_acc, *lrs.shape[1:]), 0, 1)
+            hrs_mb = jnp.swapaxes(
+                hrs.reshape(mb, grad_acc, *hrs.shape[1:]), 0, 1)
+            if grad_acc <= 4:
+                # Unrolled accumulation (see docstring): same numerics
+                # and add order as the scan, no while-loop runtime cost.
+                grads = jax.tree.map(jnp.zeros_like, state.params)
+                loss = jnp.asarray(0.0, jnp.float32)
+                for i in range(grad_acc):
+                    loss_i, grads_i = grad_fn(
+                        state.params, lrs_mb[i], hrs_mb[i], rngs[i])
+                    grads = jax.tree.map(jnp.add, grads, grads_i)
+                    loss = loss + loss_i
+            else:
+                def micro(carry, xs):
+                    acc_grads, acc_loss = carry
+                    l, h, r = xs
+                    loss_i, grads_i = grad_fn(state.params, l, h, r)
+                    acc_grads = jax.tree.map(jnp.add, acc_grads, grads_i)
+                    return (acc_grads, acc_loss + loss_i), None
 
-            def micro(carry, xs):
-                acc_grads, acc_loss = carry
-                l, h, r = xs
-                loss_i, grads_i = grad_fn(state.params, l, h, r)
-                acc_grads = jax.tree.map(jnp.add, acc_grads, grads_i)
-                return (acc_grads, acc_loss + loss_i), None
-
-            zero = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss), _ = jax.lax.scan(
-                micro, (zero, jnp.asarray(0.0, jnp.float32)), (lrs_mb, hrs_mb, rngs)
-            )
+                zero = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, loss), _ = jax.lax.scan(
+                    micro, (zero, jnp.asarray(0.0, jnp.float32)),
+                    (lrs_mb, hrs_mb, rngs)
+                )
             grads = jax.tree.map(lambda g: g / grad_acc, grads)
             loss = loss / grad_acc
 
