@@ -273,3 +273,97 @@ def test_trajectory_warped_carry_matches_loc_carry(mode, en_field):
     ob = jax.jit(b.apply)(params, x, ff, fb)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_ltam_attention_grad_matches_autodiff():
+    """Custom-VJP backward kernel == autodiff of the windows formulation
+    (fp32, interpret mode), through the full input chain (normalize, pad,
+    kv packing, exp(pe) factors) so every kernel gradient path is hit."""
+    from vmg_tpu.models.trajectory import (
+        _normalize, _to_key_windows, _to_query_windows)
+    from vmg_tpu.ops.ltam_attention import ltam_attention_2x2
+
+    rng = np.random.default_rng(33)
+    n, K, h, w, C, heads = 1, 2, 6, 8, 16, 4
+    d = C // heads
+    scale = d ** -0.5
+    curr = jnp.asarray(rng.standard_normal((n, h, w, C)), jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((n, K, h, w, C)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((n, K, h, w, C)), jnp.float32)
+    rpe = jnp.asarray(rng.standard_normal((heads, 4, 4)) * 0.5, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((n, h, w, C)), jnp.float32)
+
+    decay_v = 1.0 - 2.0 ** (-5.0 - jnp.arange(heads - 1, -1, -1,
+                                              dtype=jnp.float32))
+    expo = (K - jnp.arange(K)).astype(jnp.float32)
+    slot_decay = jnp.power(decay_v[:, None], expo[None, :])
+
+    def f_ref(curr, keys, vals, rpe):
+        q_n = 4
+        curr_n = _normalize(curr)
+        keys_n = _normalize(keys)
+        vw = _to_key_windows(vals, n, K, h, w, heads, d, 2, 2)
+        qw = _to_query_windows(curr_n, n, h, w, heads, d, 2, 2)
+        kw = _to_key_windows(keys_n, n, K, h, w, heads, d, 2, 2)
+        logits = jnp.einsum("bwhqd,bwhkd->bwhqk", qw * scale, kw)
+        pe = slot_decay[:, None, :, None] * rpe[:, :, None, :]
+        logits = logits + pe.reshape(heads, q_n, K * q_n)[None, None]
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, vw)
+        nh, nw = h // 2, w // 2
+        out = out.reshape(n, nh, nw, heads, 2, 2, d)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, C)
+        return jnp.sum(out * cot)
+
+    def f_pallas(curr, keys, vals, rpe):
+        def pad128(x):
+            return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 128 - C)])
+
+        qk = pad128(_normalize(curr) * scale)
+        kv = jnp.stack([pad128(vals), pad128(_normalize(keys))], axis=-2)
+        kv = kv.transpose(0, 2, 3, 1, 4, 5).reshape(n, h, w, K * 256)
+        pef = jnp.exp(jnp.einsum("ek,ept->ktpe", slot_decay, rpe))
+        out = ltam_attention_2x2(qk, kv, pef, K=K, heads=heads, C=C,
+                                 interpret=True)[..., :C]
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(curr, keys, vals, rpe)
+    g_pal = jax.grad(f_pallas, argnums=(0, 1, 2, 3))(curr, keys, vals, rpe)
+    for a, b, name in zip(g_ref, g_pal, ("curr", "keys", "vals", "rpe")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5, rtol=3e-5,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_trajectory_pallas_attention_grad_matches_windows_impl():
+    """Full trajectory module gradients: win_impl='pallas' (interpret) ==
+    'windows' on the same params -- the training path through the scan,
+    the warped-carry appends, and the kernel VJP."""
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    rng = np.random.default_rng(19)
+    B, T, H, W, C = 1, 5, 6, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    ff = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)), jnp.float32)
+    fb = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)), jnp.float32)
+
+    def mk(impl, interp=False):
+        return TrajectoryMultiHead(
+            embed_dim=C, num_blocks=1, keyframe_stride=2, head=4,
+            mode="wins", r_scaling=0.1, ltam=True, carry_impl="warped",
+            win_impl=impl, pallas_interpret=interp)
+
+    a, b = mk("windows"), mk("pallas", interp=True)
+    params = jax.jit(a.init)(jax.random.key(18), x, ff, fb)
+
+    def loss(m):
+        return lambda p, xx: jnp.mean(m.apply(p, xx, ff, fb) ** 2)
+
+    ga, gxa = jax.grad(loss(a), argnums=(0, 1))(params, x)
+    gb, gxb = jax.grad(loss(b), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gxb), np.asarray(gxa),
+                               atol=3e-5, rtol=3e-5)
+    fa, fb_ = jax.tree.leaves(ga), jax.tree.leaves(gb)
+    for u, v in zip(fa, fb_):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=3e-5, rtol=3e-5)

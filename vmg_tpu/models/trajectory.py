@@ -530,9 +530,8 @@ class TrajectoryMultiHead(nn.Module):
     # resolves to the fused Pallas kernel (ops/ltam_attention) when the
     # shape family supports it AND the runtime backend is TPU; 'pallas'
     # forces the kernel; 'windows'/'strided' are the XLA formulations.
-    # The kernel path is forward-only (no custom VJP) -- training steps
-    # must use 'windows' (MlpEncoderStage passes 'auto' only when
-    # deterministic).
+    # The kernel differentiates through a fused backward kernel (custom
+    # VJP in ops/ltam_attention), so training resolves to it too.
     win_impl: str = "windows"
     # run the Pallas kernel in interpret mode (CPU equivalence tests)
     pallas_interpret: bool = False
@@ -569,7 +568,7 @@ class TrajectoryMultiHead(nn.Module):
         stride = self.keyframe_stride
 
         # resolve 'auto'/'pallas' -> the fused lane-aligned attention
-        # kernel (forward-only; 'auto' additionally requires the TPU
+        # kernel (fwd + custom-VJP bwd; 'auto' additionally requires the TPU
         # backend so CPU tests/dryruns keep the XLA windows path)
         pallas_attn = (
             self.carry_impl == "warped" and self.mode == "wins"

@@ -225,10 +225,11 @@ class MlpEncoderStage(nn.Module):
                 ltam=cfg.ltam,
                 traj_win=sp(cfg.traj_win),
                 remat=cfg.remat and not deterministic,
-                # serving fast path: the fused Pallas LTAM attention has
-                # no VJP, so only forward-only (deterministic) traces may
-                # resolve to it; training keeps the XLA windows form
-                win_impl="auto" if deterministic else "windows",
+                # 'auto' resolves to the fused Pallas LTAM attention on
+                # TPU (forward AND backward -- the kernel carries a
+                # custom VJP, ops/ltam_attention) and to the XLA windows
+                # form elsewhere
+                win_impl="auto",
                 name="traj_mixing",
             )(x, flow_forward, flow_backward)
         return x
