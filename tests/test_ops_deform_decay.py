@@ -116,17 +116,3 @@ def test_grouped_conv_equals_feature_group_count(rng):
     want = ref.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
-
-
-def test_pallas_gather_rows_interpret(rng):
-    """Pallas row-gather kernel == take_along_axis (interpreter mode on
-    CPU; the compiled path was validated on a real chip)."""
-    import jax.numpy as jnp
-    from vmg_tpu.ops.pallas_gather import gather_rows
-
-    N, R, C = 2, 4096, 128
-    x = jnp.asarray(rng.standard_normal((N, R, C)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, R, (N, R)), jnp.int32)
-    got = gather_rows(x, idx, interpret=True)
-    want = jnp.take_along_axis(x, idx[..., None], axis=1)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
