@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Training-step throughput at the reference recipe shapes (one chip).
+
+Protocol: the reference trains with 64x64 LR crops, clips of num_frames
+(``configs/VMG-REDS.yml:83-108``; batch per GPU ``batch_size``).  This
+times the full jitted train step (fwd + bwd + AdamW update) of the
+flagship model on synthetic data and prints one JSON line of
+clips/sec and frames/sec.
+
+The step runs the same code path as tools/train.py (make_train_step with
+bf16 compute policy); on TPU the trajectory attention resolves to the
+fused Pallas kernel forward AND backward (ops/ltam_attention custom VJP).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="full", choices=("full", "few", "tiny"))
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from vmg_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vmg_tpu.configs import (
+        FULL_PRESET, FEW_LEVELS_PRESET, TINY_TEST_PRESET, TrainConfig)
+    from vmg_tpu.models import create_model
+    from vmg_tpu.train import init_train_state, make_train_step
+
+    cfg = {"full": FULL_PRESET, "few": FEW_LEVELS_PRESET,
+           "tiny": TINY_TEST_PRESET}[args.preset]
+    B, T, S = args.batch, args.frames, args.crop
+    tcfg = TrainConfig(lr=2e-4, T_period=(400000,), niter=400000,
+                       if_aux=True)
+
+    model = create_model(cfg, is_train=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "LRs": jnp.asarray(rng.random((B, T, S, S, 3), dtype=np.float32)),
+        "HRs": jnp.asarray(
+            rng.random((B, T, 4 * S, 4 * S, 3), dtype=np.float32)),
+    }
+    params = jax.jit(model.init)(jax.random.key(0), batch["LRs"][:1])
+    state = init_train_state(model, params, tcfg, flow_fix=0)
+    step = make_train_step(model, tcfg, grad_acc=1)
+
+    key = jax.random.key(1)
+    state, metrics = step(state, batch, key)  # compile + first step
+    loss0 = float(metrics["loss"])  # fences
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    loss = float(metrics["loss"])  # host fetch fences the stream
+    dt = (time.perf_counter() - t0) / args.iters
+
+    rec = {
+        "metric": (f"train step ({args.preset} preset, B={B}, T={T}, "
+                   f"{S}x{S} crops, bf16+fp32-flow, one chip)"),
+        "value": round(B / dt, 4),
+        "unit": "clips/sec",
+        "frames_per_sec": round(B * T / dt, 3),
+        "step_ms": round(dt * 1e3, 2),
+        "loss_first": round(loss0, 5),
+        "loss_last": round(loss, 5),
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
