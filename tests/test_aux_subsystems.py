@@ -88,3 +88,15 @@ def test_scalar_logger_disabled_on_nonzero_rank(tmp_path):
     lg.log(1, loss=1.0)
     lg.close()
     assert os.path.exists(os.path.join(tmp_path, "tb_logger", "scalars.jsonl"))
+
+
+def test_collect_env_reports_stack():
+    from vmg_tpu.utils import collect_env
+
+    info = collect_env()
+    assert info["jax"] == jax.__version__
+    assert info["vmg_tpu"].startswith("0.")
+    assert info["num_devices"] == len(jax.devices())
+    # host-facts-only mode must not touch the backend
+    host = collect_env(devices=False)
+    assert "num_devices" not in host and "Python" in host

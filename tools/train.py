@@ -55,7 +55,7 @@ def main():
     from vmg_tpu.ckpt import save_checkpoint, restore_checkpoint, latest_step
     from vmg_tpu.utils import (
         setup_logger, AverageMeter, set_random_seed, count_params,
-        make_scalar_logger,
+        make_scalar_logger, collect_env,
     )
     from vmg_tpu.train.schedule import main_lr_schedule
 
@@ -75,6 +75,9 @@ def main():
 
     mesh = make_mesh(cfg.mesh_shape)
     n_data = mesh.shape["data"]
+    # environment header (reference mmedit/apis/train logs collect_env)
+    env_lines = "\n".join(f"  {k}: {v}" for k, v in collect_env().items())
+    logger.info(f"environment:\n{env_lines}")
     logger.info(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
 
     amp_dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32

@@ -98,7 +98,8 @@ def main():
         from vmg_tpu.models.trajectory import TrajectoryMultiHead
         traj = TrajectoryMultiHead(embed_dim=C0, num_blocks=15,
                                    keyframe_stride=3, head=4, mode="wins",
-                                   r_scaling=0.1, ltam=True, traj_win=16)
+                                   r_scaling=0.1, ltam=True, traj_win=16,
+                                   win_impl="auto")
         xt = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
                          jnp.bfloat16)
         ff = jnp.asarray(rng.random((1, T - 1, H, W, 2), dtype=np.float32))
