@@ -228,7 +228,13 @@ class MlpGEGLU(nn.Module):
 
 
 class MlpIr(nn.Module):
-    """linear expand -> +gelu(dwconv) residual -> project (Mlp_ir:282)."""
+    """linear expand -> +gelu(dwconv) residual -> project (Mlp_ir:282).
+
+    Reference quirk: through the TAB dispatch (function.py:1204) Mlp_ir is
+    a latent crash as shipped — fc1 is built from the un-defaulted
+    ``hidden_features`` argument (function.py:289) instead of the computed
+    width.  This implements the intended semantics (hidden = dim * exp_r);
+    module-golden vs the reference with the width passed explicitly."""
 
     dim: int
     exp_r: float = 4.0
@@ -248,7 +254,13 @@ class MlpIr(nn.Module):
 
 
 class MlpIrMulti(nn.Module):
-    """Multi-kernel depthwise IR-FFN (reference Mlp_ir_multi:318)."""
+    """Multi-kernel depthwise IR-FFN (reference Mlp_ir_multi:318).
+
+    Reference quirk: a stray second ``forward`` (a copy-pasted trajectory
+    recurrence, function.py:373-388) shadows the real one, so the shipped
+    module crashes when called as an FFN.  This implements the shadowed
+    (intended) forward; module-golden vs the reference's own submodules
+    composed per that source (tests/test_ffn_zoo_golden.py)."""
 
     dim: int
     exp_r: float = 4.0
