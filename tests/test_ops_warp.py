@@ -54,6 +54,29 @@ def test_flow_warp_matches_torch(rng, interp, pad):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_bilinear_packed4_equals_per_tap(rng, padding, monkeypatch):
+    """The packed single-gather bilinear path (used below the row-byte
+    threshold, e.g. the SPyNet 3-channel pyramid warps) must match the
+    per-tap 4-gather path bit-for-bit: identical tap values, weights,
+    and summation order."""
+    import vmg_tpu.ops.warp as warp_mod
+
+    n, h, w, c = 2, 11, 14, 6
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    grid = _rand_grid(rng, n, 9, 12).astype(np.float32)
+
+    monkeypatch.setattr(warp_mod, "_PACK4_MAX_ROW_BYTES", 10 ** 9)
+    packed = np.asarray(
+        warp_mod.grid_sample.__wrapped__(jnp.asarray(x), jnp.asarray(grid),
+                                         "bilinear", padding))
+    monkeypatch.setattr(warp_mod, "_PACK4_MAX_ROW_BYTES", 0)
+    per_tap = np.asarray(
+        warp_mod.grid_sample.__wrapped__(jnp.asarray(x), jnp.asarray(grid),
+                                         "bilinear", padding))
+    np.testing.assert_array_equal(packed, per_tap)
+
+
 def test_flow_warp_zero_flow_identity(rng):
     x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
     out = np.asarray(flow_warp(jnp.asarray(x), jnp.zeros((1, 8, 8, 2), np.float32)))

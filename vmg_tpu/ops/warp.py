@@ -22,6 +22,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Bilinear sampling of narrow-channel images (SPyNet warps 3-channel f32
+# frames: 12-byte gather rows) is gather-granularity-bound on TPU -- the
+# xplane trace showed the 4 per-tap gathers of the SPyNet pyramid warps
+# running at ~3.5 GB/s (NOTES_ROUND4).  Below this row-byte threshold the
+# bilinear path packs all 4 neighbor taps as channels of one zero-padded
+# image and issues ONE gather with 4x wider rows (identical tap values,
+# weights, and summation order -- see _bilinear_packed4).
+_PACK4_MAX_ROW_BYTES = 64
+
 
 def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
     """Gather pixels at integer coords.
@@ -80,6 +89,9 @@ def grid_sample(
         fx = jnp.clip(fx, 0.0, W - 1)
         fy = jnp.clip(fy, 0.0, H - 1)
 
+    if C * img.dtype.itemsize <= _PACK4_MAX_ROW_BYTES:
+        return _bilinear_packed4(img, fx, fy, padding_mode)
+
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     x1 = x0 + 1.0
@@ -103,6 +115,54 @@ def grid_sample(
         + tap(x1, y0, wx1 * wy0)
         + tap(x0, y1, wx0 * wy1)
         + tap(x1, y1, wx1 * wy1)
+    )
+    return out.astype(img.dtype)
+
+
+def _bilinear_packed4(img, fx, fy, padding_mode):
+    """Bilinear sampling via ONE gather of all 4 taps.
+
+    ``P[a, b] = (imgp[a, b], imgp[a, b+1], imgp[a+1, b], imgp[a+1, b+1])``
+    on the 1-pixel zero-padded image, so the single gather at
+    ``(y0+1, x0+1)`` fetches the whole 2x2 neighborhood as one
+    4C-channel row.  Any tap with nonzero weight implies
+    ``y0 in [-1, H-1]`` and ``x0 in [-1, W-1]`` (in 'zeros' mode weights
+    outside that are masked to 0 exactly as in the per-tap path; in
+    'border' mode the coords are pre-clipped), so the clipped gather
+    index is exact wherever the weight is nonzero.  Tap values, weights,
+    and the left-to-right summation order match the per-tap path
+    bit-for-bit."""
+    N, H, W, C = img.shape
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+         imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)  # (N, H+1, W+1, 4C)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx1 = fx - x0
+    wy1 = fy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    # per-tap weights in the same order the packed channels hold the taps
+    weights = [wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1]
+    if padding_mode == "zeros":
+        coords = [(x0, y0), (x0 + 1.0, y0), (x0, y0 + 1.0),
+                  (x0 + 1.0, y0 + 1.0)]
+        weights = [
+            jnp.where((xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1),
+                      w, 0.0)
+            for (xc, yc), w in zip(coords, weights)
+        ]
+
+    b = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1  # = clip(x0+1, 0, W)
+    a = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1
+    v = _gather_2d(packed, b, a).astype(jnp.float32)  # (N, Ho, Wo, 4C)
+    out = (
+        v[..., 0 * C:1 * C] * weights[0][..., None]
+        + v[..., 1 * C:2 * C] * weights[1][..., None]
+        + v[..., 2 * C:3 * C] * weights[2][..., None]
+        + v[..., 3 * C:4 * C] * weights[3][..., None]
     )
     return out.astype(img.dtype)
 
