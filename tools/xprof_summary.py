@@ -52,6 +52,68 @@ def summarize_xplane(logdir, topk=25):
     return per_op, per_kind, total
 
 
+def gap_analysis(logdir, topk=12):
+    """Timeline view of the synchronous op stream.
+
+    ``-start``/``-done`` events are spans of ASYNC DMA that overlap
+    compute (their durations sum to several times wall -- see
+    NOTES_ROUND4), so the op-kind table over-counts them.  This merges
+    the [offset, offset+dur) intervals of the SYNC events on the XLA Ops
+    line instead: ``busy`` is real serialized device time, and the
+    largest holes between consecutive sync ops are genuine stalls
+    (usually waits on weight/activation DMA), printed with the ops on
+    either side.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    path = max(files, key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    spans = []  # (start_ms, end_ms, name)
+    for plane in xs.planes:
+        if "TPU" not in plane.name or "Step" in plane.name:
+            continue
+        ev_names = plane.event_metadata
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "XLA Op" != line.name:
+                continue
+            for ev in line.events:
+                name = ev_names[ev.metadata_id].name
+                base = name.split(" ", 1)[0]
+                if base.endswith("-start") or base.endswith("-done"):
+                    continue
+                s = ev.offset_ps / 1e9
+                spans.append((s, s + ev.duration_ps / 1e9, name))
+    if not spans:
+        raise RuntimeError("no sync events on the XLA Ops line")
+    spans.sort()
+    wall = spans[-1][1] - spans[0][0]
+    busy = 0.0
+    gaps = []  # (gap_ms, prev_name, next_name)
+    cur_s, cur_e, prev_name = spans[0][0], spans[0][1], spans[0][2]
+    for s, e, name in spans[1:]:
+        if s > cur_e:
+            gaps.append((s - cur_e, prev_name, name))
+            busy += cur_e - cur_s
+            cur_s = s
+        cur_e = max(cur_e, e)
+        if e == cur_e:
+            prev_name = name
+    busy += cur_e - cur_s
+    print(f"\n-- sync timeline: span {wall:.2f} ms, busy {busy:.2f} ms "
+          f"({100 * busy / wall:.1f}%), stall {wall - busy:.2f} ms in "
+          f"{len(gaps)} gaps --")
+    for g, a, b in sorted(gaps, key=lambda t: -t[0])[:topk]:
+        print(f"  {g:7.3f} ms gap  after {a[:60]:60s} before {b[:60]}")
+    return wall, busy, gaps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="morphfc_fused")
@@ -138,6 +200,7 @@ def main():
     print("\n-- top ops --")
     for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.topk]:
         print(f"{v:9.3f} ms  {k[:100]}")
+    gap_analysis(args.logdir)
 
 
 if __name__ == "__main__":
