@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--crop", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable TAB/trajectory rematerialization (fits "
+                         "at crop-training sizes; trades memory for the "
+                         "recompute FLOPs)")
     args = ap.parse_args()
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
@@ -44,11 +48,20 @@ def main():
 
     cfg = {"full": FULL_PRESET, "few": FEW_LEVELS_PRESET,
            "tiny": TINY_TEST_PRESET}[args.preset]
+    if args.no_remat:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, remat=False)
     B, T, S = args.batch, args.frames, args.crop
+    # amp=True matches the shipped training recipe
+    # (configs/presets/vmg_reds_full.yml: bf16 compute on TPU)
     tcfg = TrainConfig(lr=2e-4, T_period=(400000,), niter=400000,
-                       if_aux=True)
+                       if_aux=True, amp=True)
 
-    model = create_model(cfg, is_train=True)
+    # same precision construction as tools/train.py: module dtype bf16
+    # under amp (activations bf16; without it the f32 input promotes every
+    # activation back to f32 regardless of the bf16 param cast)
+    amp_dtype = jnp.bfloat16 if tcfg.amp else jnp.float32
+    model = create_model(cfg, is_train=True, dtype=amp_dtype)
     rng = np.random.default_rng(0)
     batch = {
         "LRs": jnp.asarray(rng.random((B, T, S, S, 3), dtype=np.float32)),
