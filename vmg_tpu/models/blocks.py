@@ -30,6 +30,10 @@ from vmg_tpu.ops.decay import morphfc_decay_matrix
 # opt in to the tanh approximation.  Trace-time constant: flip it BEFORE
 # jitting (bench.py / eval serving paths do).
 _GELU_APPROXIMATE = False
+# serving-only, separately opt-in: degree-9 odd-polynomial GELU
+# (ops/group_conv.gelu_poly, |err| <= 3.9e-3 f32) -- cheaper still on the
+# VPU; used where the activation is the roofline (stage-0 FFN).
+_GELU_POLY = False
 
 
 def set_fast_gelu(on: bool) -> bool:
@@ -42,8 +46,27 @@ def set_fast_gelu(on: bool) -> bool:
     return prev
 
 
+def set_poly_gelu(on: bool) -> bool:
+    """Serving-only: polynomial GELU in subsequently traced models (see
+    ops/group_conv.gelu_poly).  Returns the previous setting."""
+    global _GELU_POLY
+    prev = _GELU_POLY
+    _GELU_POLY = bool(on)
+    return prev
+
+
 def gelu_exact(x):
+    if _GELU_POLY:
+        from vmg_tpu.ops.group_conv import gelu_poly
+        return gelu_poly(x)
     return jax.nn.gelu(x, approximate=_GELU_APPROXIMATE)
+
+
+def _gelu_flavor() -> str:
+    """Trace-time GELU flavor tag for fused kernels (matches gelu_exact)."""
+    if _GELU_POLY:
+        return "poly"
+    return "tanh" if _GELU_APPROXIMATE else "erf"
 
 
 def leaky_relu(x, slope=0.01):
@@ -150,10 +173,15 @@ class GroupedConv3x3(nn.Module):
       all Cin <= one full tile (~150 TFLOP/s), ~2x faster end-to-end.
     * wider inputs: per-group convs (the g x FLOPs would outweigh the
       tiling win once Cin/g >= 56).
+
+    The FFN hot path does not go through this module on TPU: MlpCnn fuses
+    the whole grouped FFN (conv + GELU + project) into one Pallas kernel
+    (``ops/group_conv.fused_group_ffn``) with the same param tree.
     """
 
     features: int
     groups: int
+    act: Optional[str] = None  # None or 'gelu' (flavor from module flags)
 
     @nn.compact
     def __call__(self, y):
@@ -171,42 +199,96 @@ class GroupedConv3x3(nn.Module):
                     :, :, gi * cg_in:(gi + 1) * cg_in,
                     gi * cg_out:(gi + 1) * cg_out,
                 ].set(kernel[..., gi * cg_out:(gi + 1) * cg_out])
-            return jax.lax.conv_general_dilated(
+            out = jax.lax.conv_general_dilated(
                 y, blocks, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bias
-        outs = []
-        for gi in range(g):
-            outs.append(jax.lax.conv_general_dilated(
-                y[..., gi * cg_in:(gi + 1) * cg_in],
-                kernel[..., gi * cg_out:(gi + 1) * cg_out],
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ))
-        return jnp.concatenate(outs, axis=-1) + bias
+        else:
+            outs = []
+            for gi in range(g):
+                outs.append(jax.lax.conv_general_dilated(
+                    y[..., gi * cg_in:(gi + 1) * cg_in],
+                    kernel[..., gi * cg_out:(gi + 1) * cg_out],
+                    window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ))
+            out = jnp.concatenate(outs, axis=-1) + bias
+        return gelu_exact(out) if self.act == "gelu" else out
+
+
+class _GroupedConvParams(nn.Module):
+    """Param-only twin of GroupedConv3x3 (same path/names/inits), so the
+    fused FFN kernel can take over the compute without changing the
+    checkpoint tree."""
+
+    features: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", torch_conv_kernel_init(),
+                            (3, 3, cin // self.groups, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _DenseParams(nn.Module):
+    """Param-only twin of nn.Dense(kernel_init=trunc_normal_init())."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", trunc_normal_init(),
+                            (cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class MlpCnn(nn.Module):
     """3x3 conv expand -> GELU -> linear project (reference Mlp_cnn:50).
 
     The default ``ffn_cnn`` channel mixer of all shipped configs.
+
+    Grouped variant on TPU: the whole FFN runs as ONE Pallas kernel
+    (``ops/group_conv.fused_group_ffn``) -- the grouped conv at its true
+    FLOPs with full MXU contraction depth, GELU on the f32 accumulator,
+    and the projection contracting the hidden back down while it is still
+    in VMEM (the 6x-wide hidden never touches HBM).  ``impl``: 'auto'
+    (Pallas on TPU, XLA module path elsewhere -- CPU tests and goldens
+    pin the module path) | 'xla' | 'pallas'.  The param tree is identical
+    on both paths.
     """
 
     dim: int
     exp_r: float = 4.0
     n_groups: int = 1
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
         hidden = int(self.dim * self.exp_r)
         y = x.reshape(B * T, H, W, C)
+        use_pallas = self.n_groups > 1 and (
+            self.impl in ("pallas", "interpret") or
+            (self.impl == "auto" and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from vmg_tpu.ops.group_conv import fused_group_ffn
+            k1, b1 = _GroupedConvParams(hidden, self.n_groups,
+                                        name="fc1")(C)
+            w2, b2 = _DenseParams(self.dim, name="fc2")(hidden)
+            y = fused_group_ffn(y, k1, b1, w2, b2, groups=self.n_groups,
+                                act=_gelu_flavor(),
+                                interpret=self.impl == "interpret")
+            return y.reshape(B, T, H, W, self.dim)
         if self.n_groups > 1:
-            y = GroupedConv3x3(hidden, self.n_groups, name="fc1")(y)
+            y = GroupedConv3x3(hidden, self.n_groups, act="gelu",
+                               name="fc1")(y)
         else:
             y = nn.Conv(hidden, (3, 3), padding=1,
                         kernel_init=torch_conv_kernel_init(), name="fc1")(y)
-        y = gelu_exact(y)
+            y = gelu_exact(y)
         y = y.reshape(B, T, H, W, hidden)
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="fc2")(y)
         return y
