@@ -120,6 +120,30 @@ def test_mlpcnn_fused_path_matches_module_path():
                                atol=2e-5)
 
 
+def test_set_ffn_impl_override():
+    """set_ffn_impl overrides every MlpCnn's impl at trace time: forcing
+    'interpret' on an impl='xla' module takes the kernel path (same
+    numbers), and restoring the previous override restores behavior."""
+    from vmg_tpu.models.blocks import set_ffn_impl
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 12, 16)), jnp.float32)
+    m = MlpCnn(16, exp_r=3.0, n_groups=4, impl="xla")
+    p = m.init(jax.random.key(0), x)
+    y_xla = m.apply(p, x)
+    prev = set_ffn_impl("interpret")
+    try:
+        assert prev is None
+        y_forced = m.apply(p, x)
+    finally:
+        set_ffn_impl(prev)
+    np.testing.assert_allclose(np.asarray(y_forced), np.asarray(y_xla),
+                               atol=2e-5)
+    # override cleared: back to the module's own (XLA) path bit-for-bit
+    y_after = m.apply(p, x)
+    np.testing.assert_array_equal(np.asarray(y_after), np.asarray(y_xla))
+
+
 def test_gelu_poly_error_bound():
     xs = jnp.linspace(-12.0, 12.0, 100001)
     err = jnp.max(jnp.abs(gelu_poly(xs) - jax.nn.gelu(xs, approximate=False)))

@@ -62,6 +62,22 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=_GELU_APPROXIMATE)
 
 
+# trace-time override of every MlpCnn's impl (None = respect the module's
+# own setting).  Lets benches/serving force 'xla' or 'pallas' without
+# threading a flag through model construction.
+_FFN_IMPL_OVERRIDE: Optional[str] = None
+
+
+def set_ffn_impl(impl: Optional[str]) -> Optional[str]:
+    """Override the grouped-FFN implementation in subsequently traced
+    models: None (per-module), 'auto', 'xla', 'pallas', 'interpret'.
+    Returns the previous override."""
+    global _FFN_IMPL_OVERRIDE
+    prev = _FFN_IMPL_OVERRIDE
+    _FFN_IMPL_OVERRIDE = impl
+    return prev
+
+
 def _gelu_flavor() -> str:
     """Trace-time GELU flavor tag for fused kernels (matches gelu_exact)."""
     if _GELU_POLY:
@@ -270,9 +286,10 @@ class MlpCnn(nn.Module):
         B, T, H, W, C = x.shape
         hidden = int(self.dim * self.exp_r)
         y = x.reshape(B * T, H, W, C)
+        impl = _FFN_IMPL_OVERRIDE or self.impl
         use_pallas = self.n_groups > 1 and (
-            self.impl in ("pallas", "interpret") or
-            (self.impl == "auto" and jax.default_backend() == "tpu"))
+            impl in ("pallas", "interpret") or
+            (impl == "auto" and jax.default_backend() == "tpu"))
         if use_pallas:
             from vmg_tpu.ops.group_conv import fused_group_ffn
             k1, b1 = _GroupedConvParams(hidden, self.n_groups,
@@ -280,7 +297,7 @@ class MlpCnn(nn.Module):
             w2, b2 = _DenseParams(self.dim, name="fc2")(hidden)
             y = fused_group_ffn(y, k1, b1, w2, b2, groups=self.n_groups,
                                 act=_gelu_flavor(),
-                                interpret=self.impl == "interpret")
+                                interpret=impl == "interpret")
             return y.reshape(B, T, H, W, self.dim)
         if self.n_groups > 1:
             y = GroupedConv3x3(hidden, self.n_groups, act="gelu",
@@ -416,11 +433,13 @@ class MlpCnnShift(nn.Module):
         return nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(y)
 
 
-def make_ffn(ffn_type: str, dim: int, mlp_ratio: float, n_groups: int, name: str):
+def make_ffn(ffn_type: str, dim: int, mlp_ratio: float, n_groups: int, name: str,
+             impl: str = "auto"):
     if ffn_type == "vanilla":
         return Mlp(dim, int(dim * mlp_ratio), name=name)
     if ffn_type == "ffn_cnn":
-        return MlpCnn(dim, exp_r=mlp_ratio, n_groups=n_groups, name=name)
+        return MlpCnn(dim, exp_r=mlp_ratio, n_groups=n_groups, impl=impl,
+                      name=name)
     if ffn_type == "ffn_cnn_shift":
         return MlpCnnShift(dim, exp_r=mlp_ratio, name=name)
     if ffn_type == "irffn_single":
@@ -832,8 +851,14 @@ class TAB(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         y = mixer(TorchLayerNorm(self.dim, name="norm2")(x))
         x = x + dp(y, deterministic) * self.mixer_scaling
+        # deterministic == eval/serving.  Training pins the XLA module
+        # path: the fused kernel's backward (vjp of the per-group-matmul
+        # XLA formulation) measured 4.5x slower per train step than XLA's
+        # conv transpose kernels at 64x64 crop shapes (NOTES_ROUND4), while
+        # the serving forward is where the kernel wins.
         ffn = make_ffn(self.ffn_type, self.dim, self.mlp_ratio, self.n_groups,
-                       name="channel_mixing")
+                       name="channel_mixing",
+                       impl="auto" if deterministic else "xla")
         y = ffn(TorchLayerNorm(self.dim, name="norm3")(x))
         x = x + dp(y, deterministic) * self.mixer_scaling
         return x
