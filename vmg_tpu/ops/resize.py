@@ -64,11 +64,14 @@ def resize_bilinear(
     wh = jnp.asarray(_linear_weights(H, out_h, align_corners))
     ww = jnp.asarray(_linear_weights(W, out_w, align_corners))
     orig_dtype = x.dtype
-    y = x.reshape(-1, H, W * C).astype(jnp.float32)
-    y = jnp.einsum("oh,nhk->nok", wh, y, preferred_element_type=jnp.float32)
-    y = y.reshape(-1, out_h, W, C).transpose(0, 2, 1, 3).reshape(-1, W, out_h * C)
-    y = jnp.einsum("ow,nwk->nok", ww, y, preferred_element_type=jnp.float32)
-    y = y.reshape(-1, out_w, out_h, C).transpose(0, 2, 1, 3)
+    # contractions on the native axes, layouts left to XLA: the explicit
+    # flatten/transpose form materialized the W-stage output transposed and
+    # the consumer re-read it through a ~39 GB/s strided copy (NOTES_ROUND4
+    # serving trace); this form is bitwise identical (same weights, same
+    # per-output summation order) and measured faster at the serving shape
+    y = x.reshape(-1, H, W, C).astype(jnp.float32)
+    y = jnp.einsum("oh,nhwc->nowc", wh, y, preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,nowc->nopc", ww, y, preferred_element_type=jnp.float32)
     return y.reshape(*lead, out_h, out_w, C).astype(orig_dtype)
 
 
