@@ -367,3 +367,117 @@ def test_trajectory_pallas_attention_grad_matches_windows_impl():
     for u, v in zip(fa, fb_):
         np.testing.assert_allclose(np.asarray(v), np.asarray(u),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_fused_norm_matches_xla_formulation():
+    """ops/fused_norm (interpret) == the MXU-moment XLA formulation and
+    the f32 two-pass reference, for LN and RMSNorm at the model's channel
+    widths (112/224/448/56, none lane-aligned)."""
+    from vmg_tpu.ops.fused_norm import fused_norm
+
+    rng = np.random.default_rng(7)
+    for c in (112, 224, 448, 56):
+        x = jnp.asarray(rng.standard_normal((2, 8, c))
+                        + 0.4 * rng.standard_normal((2, 8, 1)), jnp.bfloat16)
+        g = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+        xf = np.asarray(x, np.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        ref = ((xf - mean) / np.sqrt(var + 1e-5)) * np.asarray(g) + np.asarray(b)
+        y = np.asarray(fused_norm(x, g, b, eps=1e-5, interpret=True),
+                       np.float32)
+        # bf16 output rounding bound
+        np.testing.assert_allclose(y, ref, atol=8e-2, rtol=8e-3)
+        refr = (xf / np.sqrt((xf * xf).mean(-1, keepdims=True) + 1e-6)
+                ) * np.asarray(g)
+        yr = np.asarray(fused_norm(x, g, None, eps=1e-6, rms=True,
+                                   interpret=True), np.float32)
+        np.testing.assert_allclose(yr, refr, atol=8e-2, rtol=8e-3)
+
+
+def test_fused_norm_grad_matches_xla():
+    """The custom VJP (XLA-recompute backward) == autodiff of the XLA
+    formulation."""
+    from vmg_tpu.ops.fused_norm import fused_norm, _norm_xla
+
+    rng = np.random.default_rng(8)
+    c = 112
+    x = jnp.asarray(rng.standard_normal((64, c)), jnp.float32)
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    def f_pal(x, g, b):
+        return (fused_norm(x, g, b, eps=1e-5, interpret=True)
+                .astype(jnp.float32) ** 2).sum()
+
+    def f_xla(x, g, b):
+        return (_norm_xla(x, g, b, c=c, eps=1e-5, rms=False)
+                .astype(jnp.float32) ** 2).sum()
+
+    ga = jax.grad(f_pal, argnums=(0, 1, 2))(x, g, b)
+    gb_ = jax.grad(f_xla, argnums=(0, 1, 2))(x, g, b)
+    for u, v in zip(ga, gb_):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_torch_layernorm_module_fused_path():
+    """TorchLayerNorm with set_norm_impl('interpret') == its XLA bf16
+    path, through the module interface."""
+    from vmg_tpu.models.norms import TorchLayerNorm, RMSNorm, set_norm_impl
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 224)), jnp.bfloat16)
+    for mod in (TorchLayerNorm(224), RMSNorm(224)):
+        p = mod.init(jax.random.key(0), x)
+        ref = mod.apply(p, x)
+        prev = set_norm_impl("interpret")
+        try:
+            y = mod.apply(p, x)
+        finally:
+            set_norm_impl(prev)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2)
+
+
+def test_shuffle2_lanes_bit_identical():
+    """shuffle2_lanes == the transpose form of PixelShuffle(2) on a
+    conv_pixel_shuffle-ordered tensor."""
+    from vmg_tpu.ops.pixel_shuffle import shuffle2_lanes
+
+    rng = np.random.default_rng(11)
+    for n, h, w, c in [(2, 6, 10, 16), (1, 5, 7, 28)]:
+        y = jnp.asarray(rng.standard_normal((n, h, w, 4 * c)), jnp.bfloat16)
+        yy = y.reshape(n, h, w, 2, 2, c)
+        want = np.asarray(
+            yy.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c))
+        got_l = np.asarray(shuffle2_lanes(y))
+        assert np.array_equal(got_l, want)
+
+
+def test_spynet_fast_flow_close_to_exact():
+    """set_fast_flow(True) (bf16 basic-module convs) stays within a small
+    pixel delta of the exact-f32 flow on smooth frames; flag restores."""
+    from vmg_tpu.models.spynet import SPyNet, set_fast_flow
+
+    rng = np.random.default_rng(12)
+    n, h, w = 2, 64, 64
+    base = rng.standard_normal((n, h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    img = np.kron(base, np.ones((1, 8, 8, 1), np.float32))
+    a = jnp.asarray((img[:, :h, :w] - img.min()) / (np.ptp(img) + 1e-6))
+    b = jnp.asarray(np.roll(np.asarray(a), 1, axis=2))
+
+    spynet = SPyNet()
+    params = jax.jit(spynet.init)(jax.random.key(0), a, b)
+    exact = np.asarray(jax.jit(spynet.apply)(params, a, b))
+    prev = set_fast_flow(True)
+    try:
+        assert prev is False
+        fast = np.asarray(jax.jit(spynet.apply)(params, a, b))
+    finally:
+        set_fast_flow(prev)
+    # random-init weights, small flows: bf16 conv rounding stays sub-pixel
+    assert np.abs(fast - exact).max() < 0.2
+    assert np.abs(fast - exact).mean() < 0.02

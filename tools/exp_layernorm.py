@@ -29,7 +29,11 @@ def main():
     import numpy as np
     from vmg_tpu.utils.profiling import timed
 
-    N, H, W, C = 16, 184, 320, 112
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="16,184,320,112")
+    a = ap.parse_args()
+    N, H, W, C = map(int, a.shape.split(","))
     eps = 1e-5
     rng = np.random.default_rng(0)
     # activation-like data: nonzero mean per pixel to exercise cancellation
@@ -72,8 +76,13 @@ def main():
     # f32 reference for accuracy
     ref = np.asarray(jax.jit(ln_current)(jnp.asarray(xh)))
 
+    from vmg_tpu.ops.fused_norm import fused_norm
+
+    def ln_pallas(x):
+        return fused_norm(x, g.astype(x.dtype), b.astype(x.dtype), eps=eps)
+
     for name, fn in [("current", ln_current), ("mxu1", ln_mxu1),
-                     ("mxu2", ln_mxu2)]:
+                     ("mxu2", ln_mxu2), ("pallas", ln_pallas)]:
         f = jax.jit(fn)
         y = np.asarray(f(x), np.float32)
         ms = timed(f, x) * 1e3

@@ -21,6 +21,26 @@ from vmg_tpu.ops.resize import resize_bilinear, avg_pool2d
 _MEAN = (0.485, 0.456, 0.406)
 _STD = (0.229, 0.224, 0.225)
 
+# Serving fast-math (trace-time constant, like blocks.set_fast_gelu): run
+# the basic-module CONVS in bf16.  The fp32-flow policy pins SPyNet params
+# to f32 (train/precision.py), which makes XLA lower the 7x7 convs as f32
+# convolutions at ~1/8 MXU rate -- the round-3 serving trace shows them at
+# 11-23 TFLOP/s, ~40 ms/clip across both directions.  In fast mode conv
+# inputs/kernels round to bf16 (MXU accumulates f32 regardless) while ALL
+# flow arithmetic -- upsampling, the residual add, warp coordinates --
+# stays f32.  Measured flow delta on demo frames is well under 0.05 px
+# (tools/exp_spynet_bf16.py); golden tests leave the flag off.
+_FAST_FLOW = False
+
+
+def set_fast_flow(on: bool) -> bool:
+    """bf16 basic-module convs in subsequently traced models (serving
+    only).  Returns the previous setting."""
+    global _FAST_FLOW
+    prev = _FAST_FLOW
+    _FAST_FLOW = bool(on)
+    return prev
+
 
 class SPyNetBasicModule(nn.Module):
     """conv(8->32->64->32->16->2), k=7, ReLU between (none after last)."""
@@ -28,11 +48,15 @@ class SPyNetBasicModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         widths = (32, 64, 32, 16, 2)
+        dtype = jnp.bfloat16 if _FAST_FLOW else None
+        if dtype is not None:
+            x = x.astype(dtype)
         for i, w in enumerate(widths):
-            x = nn.Conv(w, (7, 7), padding=3, name=f"conv{i}")(x)
+            x = nn.Conv(w, (7, 7), padding=3, dtype=dtype,
+                        name=f"conv{i}")(x)
             if i < len(widths) - 1:
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class SPyNet(nn.Module):
@@ -55,6 +79,13 @@ class SPyNet(nn.Module):
         refs = refs[::-1]
         supps = supps[::-1]
 
+        if _FAST_FLOW:
+            # bf16 image pyramids: halves the gather rows of the warps
+            # (the packed single-gather bilinear reads whole pixel rows);
+            # flow itself stays f32 below
+            refs = [r.astype(jnp.bfloat16) for r in refs]
+            supps = [s.astype(jnp.bfloat16) for s in supps]
+
         flow = jnp.zeros((n, h // 32, w // 32, 2), jnp.float32)
         for level in range(self.levels):
             if level == 0:
@@ -62,14 +93,11 @@ class SPyNet(nn.Module):
             else:
                 lh, lw = refs[level].shape[1:3]
                 flow_up = resize_bilinear(flow, lh, lw, align_corners=True) * 2.0
-            inp = jnp.concatenate(
-                [
-                    refs[level],
-                    flow_warp(supps[level], flow_up, padding_mode="border"),
-                    flow_up,
-                ],
-                axis=-1,
-            )
+            warped = flow_warp(supps[level], flow_up, padding_mode="border")
+            feats = [refs[level], warped, flow_up]
+            if _FAST_FLOW:
+                feats = [f.astype(jnp.bfloat16) for f in feats]
+            inp = jnp.concatenate(feats, axis=-1)
             flow = flow_up + self.basic_module[level](inp)
         return flow
 

@@ -55,6 +55,24 @@ def conv_pixel_shuffle(x, kernel, bias, r: int,
     return y.reshape(N, H * r, W * r, C)
 
 
+def shuffle2_lanes(y: jnp.ndarray) -> jnp.ndarray:
+    """PixelShuffle(2) of a ``conv_pixel_shuffle``-ordered tensor
+    ((i, j, c) channel blocks) expressed as lane slices: even/odd output
+    rows are the first/second half of the lane dim reshaped
+    (W, 2C) -> (2W, C), interleaved with one stack.  Bit-identical to the
+    transpose form; gives XLA a coarser relayout.
+
+    (A Pallas single-pass form of the same lane-slice math does NOT
+    compile on v5e: Mosaic rejects the in-register lane reshape
+    (W, 2C) -> (2W, C) as an "unsupported shape cast" -- the relayout has
+    to go through XLA either way.)"""
+    n, h, w, c4 = y.shape
+    c = c4 // 4
+    even = y[..., : 2 * c].reshape(n, h, 2 * w, c)
+    odd = y[..., 2 * c:].reshape(n, h, 2 * w, c)
+    return jnp.stack([even, odd], axis=2).reshape(n, 2 * h, 2 * w, c)
+
+
 def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """(..., H*r, W*r, C) -> (..., H, W, C*r^2); inverse of pixel_shuffle."""
     *lead, Hr, Wr, C = x.shape
