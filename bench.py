@@ -55,6 +55,12 @@ def main():
     # below bf16 rounding; see models/blocks.py set_fast_gelu)
     from vmg_tpu.models.blocks import set_fast_gelu
     set_fast_gelu(True)
+    # opt-in while under evaluation: bf16 SPyNet basic-module convs (flow
+    # arithmetic stays f32; pixel delta bound tested in
+    # tools/exp_spynet_bf16.py / tests/test_fused_layouts.py)
+    if os.environ.get("VMG_FAST_FLOW", "0") == "1":
+        from vmg_tpu.models.spynet import set_fast_flow
+        set_fast_flow(True)
 
     model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
