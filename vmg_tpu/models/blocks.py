@@ -78,6 +78,20 @@ def set_ffn_impl(impl: Optional[str]) -> Optional[str]:
     return prev
 
 
+# same idea for the MorphFCDecay spatial mixer's fused kernels
+_MORPH_IMPL_OVERRIDE: Optional[str] = None
+
+
+def set_morph_impl(impl: Optional[str]) -> Optional[str]:
+    """Override the MorphFCDecay implementation in subsequently traced
+    models: None (per-module), 'auto', 'xla', 'pallas', 'interpret'.
+    Returns the previous override."""
+    global _MORPH_IMPL_OVERRIDE
+    prev = _MORPH_IMPL_OVERRIDE
+    _MORPH_IMPL_OVERRIDE = impl
+    return prev
+
+
 def _gelu_flavor() -> str:
     """Trace-time GELU flavor tag for fused kernels (matches gelu_exact)."""
     if _GELU_POLY:
@@ -644,6 +658,23 @@ class _FusedDecayedAxisFC(nn.Module):
         return y
 
 
+class _AxisFCParams(nn.Module):
+    """Param-only twin of _DecayedAxisFC (same path/names/shapes/inits),
+    so the fused MorphFC kernels can take over the compute without
+    changing the checkpoint tree."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init(),
+                            (self.features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 def _morph_mix_w_fused(x, fc_apply, chunk_w, Cw):
     """W-axis morph mixing with tokens left in native (pos, q, S) order --
     pure reshapes around one block-diagonal matmul (see _FusedDecayedAxisFC)."""
@@ -689,12 +720,80 @@ class MorphFCDecay(nn.Module):
     # matmul, no sublane transposes); falls back to the reshape/transpose
     # form under relu_scale_norm, whose RMSNorm needs the (q)-token layout
     fused: bool = True
+    # fused Pallas kernels (ops/morphfc_fused): both axis branches + the
+    # reweight partial sums in one pass over x, and weighted-sum + proj +
+    # gate in a second -- no HBM transposes, no re-read reductions.
+    # 'auto' = kernels on TPU when the shape qualifies; serving-only
+    # (TAB constructs the mixer with impl='xla' when training).
+    impl: str = "auto"
+
+    def _pallas_ok(self, x, impl: str) -> bool:
+        B, T, H, W, C = x.shape
+        if not (impl in ("pallas", "interpret")
+                or (impl == "auto" and jax.default_backend() == "tpu")):
+            return False
+        if impl != "interpret" and x.dtype != jnp.bfloat16:
+            return False  # f32 doubles the VMEM working set; XLA path
+        return (self.gating and self.symm and self.relu_scale
+                and not self.relu_scale_norm
+                and self.symm_act in ("tanh", "sigmoid", "relu")
+                and C % self.chunk_h == 0 and C % self.chunk_w == 0
+                and W % self.chunk_w == 0
+                and self.chunk_h * C <= 1024 and self.chunk_w * C <= 1024)
+
+    def _pallas_forward(self, x, interpret: bool):
+        """Kernel-fused forward (same params, same math; see
+        ops/morphfc_fused for the design and numerics notes)."""
+        from vmg_tpu.ops.morphfc_fused import (
+            pack_axis_weights, fused_morphfc_axes, fused_morphfc_combine)
+        B, T, H, W, C = x.shape
+        N = B * T
+        xf = x.reshape(N, H, W, C)
+
+        kh_raw, bh_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_h")()
+        kw_raw, bw_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_w")()
+        kh, bh = pack_axis_weights(kh_raw, bh_raw, self.chunk_h, self.decay)
+        kw, bw = pack_axis_weights(kw_raw, bw_raw, self.chunk_w, self.decay)
+
+        # c branch stays in XLA (plain convs/dense tile fine on the MXU)
+        if self.channel_mixer == "rcab":
+            c = RCAB(self.dim, name="mlp_c")(x)
+        else:
+            c = nn.Dense(self.dim, use_bias=self.qkv_bias,
+                         kernel_init=trunc_normal_init(), name="mlp_c")(x)
+            if self.non_linear:
+                c = jax.nn.relu(c)
+        c = (c / C).reshape(N, H, W, C)  # relu_scale (guaranteed by gate)
+
+        h, w, psum = fused_morphfc_axes(
+            xf, c, kh, bh, kw, bw, chunk_h=self.chunk_h,
+            chunk_w=self.chunk_w, non_linear=self.non_linear,
+            interpret=interpret)
+
+        # squeeze-mean + branch softmax (fp32 accumulation came free with
+        # the kernel's partial sums)
+        a = psum.reshape(B, T, C).sum(axis=1) / float(T * H * W)
+        a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(
+            a.astype(x.dtype))
+        a = a.reshape(B, C, 3).transpose(2, 0, 1).astype(jnp.float32)
+        a = jax.nn.softmax(a, axis=0).astype(x.dtype)  # (3, B, C)
+        a_n = jnp.broadcast_to(
+            a.transpose(1, 0, 2)[:, None], (B, T, 3, C)).reshape(N, 3, C)
+
+        pk, pb = _DenseParams(self.dim, name="proj")(C)
+        y = fused_morphfc_combine(xf, h, w, c, a_n, pk, pb,
+                                  act=self.symm_act, interpret=interpret)
+        return y.reshape(B, T, H, W, C)
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
         Ch = -(-C // self.chunk_h) * self.chunk_h
         Cw = -(-C // self.chunk_w) * self.chunk_w
+
+        impl = _MORPH_IMPL_OVERRIDE or self.impl
+        if self._pallas_ok(x, impl):
+            return self._pallas_forward(x, interpret=impl == "interpret")
 
         x_short = x
         fused = self.fused and not self.relu_scale_norm
@@ -833,10 +932,13 @@ class TAB(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.mixer_type == "mlps":
             if self.if_decay:
+                # training pins the XLA module path (the fused kernels
+                # have no VJP; serving is where their fusion wins)
                 mixer = MorphFCDecay(
                     self.dim, self.chunk_h, self.chunk_w, self.qkv_bias,
                     self.non_linear, self.gating, self.symm, self.symm_act,
                     self.relu_scale, self.relu_scale_norm, self.channel_mixer,
+                    impl="auto" if deterministic else "xla",
                     name="spatial_mixing",
                 )
             else:

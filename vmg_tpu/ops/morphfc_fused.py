@@ -1,0 +1,260 @@
+"""Fused Pallas kernels for the MorphFC-decay spatial mixer.
+
+The stage-0/6 ``Enhanced_MorphFCs_decay`` blocks (reference
+``models/function.py:596-805``) are the largest serving pool after round
+3: ~14.6 ms each on-chip (xprof, stage-0 shape 16x180x320x112) of which
+only ~4 ms is matmul/conv math -- the rest is HBM relayout traffic that
+XLA cannot avoid at the graph level:
+
+  * the H-axis mix forces a (B,T,H,W,C) -> (B,T,W,H,C) physical
+    transpose + pad + reshape pipeline (~4.8 ms measured);
+  * the three branch tensors (h, w, c) are materialized, re-read for the
+    fp32 squeeze-mean (~2.8 ms of convert_reduce), re-read again for the
+    softmax-weighted sum, and the projection + gate read/write the full
+    tensor twice more.
+
+Design (TPU-first, no reference code): two kernels around the one true
+global dependency (the reweight softmax needs the global mean of
+h + w + c, so fusing everything into one pass is impossible).
+
+``fused_morphfc_axes``
+    grid (N, ceil(H/chunk_h)); each program owns a (chunk_h, W, C) slab
+    -- exactly one H-mix group -- and computes BOTH axis branches with
+    zero HBM relayout:
+
+    * H branch: the slab's native layout (rows = the chunk_h positions
+      of the group, lanes = C) IS the token matrix of the H mix, so the
+      branch is ``sum_p slab[p] @ Kh[p]`` where ``Kh`` is the
+      block-diagonal (decay-folded) axis weight split along its input
+      position axis -- 8 accumulated MXU matmuls, no transpose anywhere.
+    * W branch: the W mix is transpose-free in HBM row-major order
+      (tokens = (pos, q, s) flattened, see ``_FusedDecayedAxisFC``), so
+      the kernel reads the SAME bytes through a second, XLA-reshaped
+      view (N, H, G_w, chunk_w*C) and runs one (chunk_h*G_w, chunk_w*C)
+      x (chunk_w*C, chunk_w*C) matmul.
+    * the fp32 partial sums of (scaled h + w + c) for the reweight mean
+      accumulate in VMEM across the sequential grid -- the branch
+      tensors are never re-read for the reduction.
+
+    H padding (H % chunk_h != 0) is handled by in-kernel row masking
+    (replacing XLA's pad + slice round trip); rows past H are zeroed
+    before the matmuls, their outputs are dropped by Pallas' partial
+    block stores and excluded from the partial sums.
+
+``fused_morphfc_combine``
+    One streaming pass for everything after the softmax: the weighted
+    branch sum, the projection matmul, and the symmetric gate
+    ``(x + proj) * act(proj)`` -- 4 input reads + 1 output write versus
+    XLA's 9 tensor passes through three separate fusions.
+
+Both kernels keep the module's parameter tree unchanged (packing happens
+at trace time from the same (C, C) axis weights + decay matrix).
+Training keeps the XLA module path (TAB constructs the mixer with
+impl='xla' when not deterministic), so no VJP is needed.  Numerics: f32
+accumulation everywhere XLA accumulates f32; branch scale + bias applied
+on the f32 accumulator (XLA path rounds to bf16 after the dot first --
+differences are below bf16 rounding, pinned by tests on the interpret
+path and on-chip by tools/tpu_check_morphfc.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vmg_tpu.ops.decay import morphfc_decay_matrix
+
+LANE = 128
+
+
+def pack_axis_weights(kernel, bias, chunk: int, decay: bool):
+    """(C, C) axis-FC weight + (C,) bias -> kernel operands.
+
+    Returns ``kp (chunk, C, chunk*C)`` -- the block-diagonal big matrix
+    (token features (p, q, s) -> (p', q, s'), q-diagonal; identical
+    construction to ``_FusedDecayedAxisFC``) split along the input
+    position p, so the H-mix can consume a (chunk, W, C) slab row by
+    row -- and ``bp (1, chunk*C) f32`` with the (P, Z)-indexed bias
+    broadcast over q.
+    """
+    f = kernel.shape[0]
+    ch = chunk
+    S = f // ch
+    if decay:
+        gamma = morphfc_decay_matrix(ch, S)
+        kernel = kernel * gamma.astype(kernel.dtype)
+    k4 = kernel.reshape(ch, S, ch, S)  # (p, s, P, Z)
+    eye = jnp.eye(ch, dtype=kernel.dtype)
+    big = jnp.einsum("psPZ,qr->pqsPrZ", k4, eye).reshape(ch * f, ch * f)
+    kp = big.reshape(ch, f, ch * f)
+    if bias is None:
+        bp = jnp.zeros((1, ch * f), jnp.float32)
+    else:
+        bp = jnp.broadcast_to(
+            bias.astype(jnp.float32).reshape(ch, 1, S), (ch, ch, S)
+        ).reshape(1, ch * f)
+    return kp, bp
+
+
+def _axes_kernel(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
+                 h_ref, w_ref, psum_ref, *, H, W, C, ch, cw, Gw,
+                 non_linear, inv_ch, inv_cw):
+    g = pl.program_id(1)
+    valid = H - g * ch  # rows of this slab inside the real H extent
+
+    # ---- H branch: sum_p slab[p] @ Kh[p], all in native layout ----
+    acc_h = jnp.zeros((W, ch * C), jnp.float32)
+    for p in range(ch):
+        row = jnp.where(p < valid, x_ref[0, p], jnp.zeros_like(x_ref[0, p]))
+        acc_h = acc_h + jax.lax.dot_general(
+            row, kh_ref[p], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_h = acc_h + bh_ref[0][None, :]
+    if non_linear:
+        acc_h = jnp.maximum(acc_h, 0.0)
+    acc_h = acc_h * inv_ch
+
+    psum = jnp.zeros((1, C), jnp.float32)
+    for p in range(ch):
+        hp = acc_h[:, p * C:(p + 1) * C]
+        h_ref[0, p] = hp.astype(h_ref.dtype)
+        s = jnp.sum(hp, axis=0, keepdims=True)
+        psum = psum + jnp.where(p < valid, s, jnp.zeros_like(s))
+
+    # ---- W branch: one matmul on the HBM-order token view ----
+    wt = xw_ref[0].reshape(ch * Gw, cw * C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ch * Gw, 1), 0)
+    wt = jnp.where(rows < valid * Gw, wt, jnp.zeros_like(wt))
+    acc_w = jax.lax.dot_general(
+        wt, kw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_w = acc_w + bw_ref[0][None, :]
+    if non_linear:
+        acc_w = jnp.maximum(acc_w, 0.0)
+    acc_w = acc_w * inv_cw
+    w_ref[0] = acc_w.reshape(ch, Gw, cw * C).astype(w_ref.dtype)
+    wm = jnp.where(rows < valid * Gw, acc_w, jnp.zeros_like(acc_w))
+    psum = psum + jnp.sum(wm, axis=0, keepdims=True).reshape(cw, C).sum(
+        axis=0, keepdims=True)
+
+    # ---- c branch partial sums (c itself computed by XLA upstream) ----
+    for p in range(ch):
+        s = jnp.sum(c_ref[0, p].astype(jnp.float32), axis=0, keepdims=True)
+        psum = psum + jnp.where(p < valid, s, jnp.zeros_like(s))
+
+    @pl.when(g == 0)
+    def _():
+        psum_ref[...] = psum
+
+    @pl.when(g > 0)
+    def _():
+        psum_ref[...] = psum_ref[...] + psum
+
+
+def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
+                       non_linear: bool = True, interpret: bool = False):
+    """Both decayed axis branches + fp32 reweight partial sums.
+
+    x, c: (N, H, W, C) (c already scaled).  kh/bh from
+    ``pack_axis_weights(.., chunk_h, ..)``, kw/bw likewise (kw is
+    consumed as the full (chunk_w*C, chunk_w*C) matrix).  Returns
+    (h (N, Hp, W, C), w (N, Hp, W, C), psum (N, C) f32) where
+    Hp = ceil(H/chunk_h)*chunk_h -- rows >= H are junk and must be
+    dropped by the consumer (``fused_morphfc_combine`` does, for free) --
+    and psum[n] = sum over the REAL (H, W) extent of (h + w + c)[n],
+    branch scales 1/C applied.
+    """
+    N, H, W, C = x.shape
+    ch, cw = chunk_h, chunk_w
+    assert W % cw == 0, (W, cw)
+    Gw = W // cw
+    Gh = -(-H // ch)
+    xw = x.reshape(N, H, Gw, cw * C)
+    kwm = kw.reshape(cw * C, cw * C)
+
+    kernel = functools.partial(
+        _axes_kernel, H=H, W=W, C=C, ch=ch, cw=cw, Gw=Gw,
+        non_linear=non_linear, inv_ch=1.0 / C, inv_cw=1.0 / C)
+    h, w, psum = pl.pallas_call(
+        kernel,
+        grid=(N, Gh),
+        in_specs=[
+            pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
+            pl.BlockSpec((1, ch, Gw, cw * C), lambda n, g: (n, g, 0, 0)),
+            pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
+            pl.BlockSpec(kh.shape, lambda n, g: (0, 0, 0)),
+            pl.BlockSpec(bh.shape, lambda n, g: (0, 0)),
+            pl.BlockSpec(kwm.shape, lambda n, g: (0, 0)),
+            pl.BlockSpec(bw.shape, lambda n, g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
+            pl.BlockSpec((1, ch, Gw, cw * C), lambda n, g: (n, g, 0, 0)),
+            pl.BlockSpec((1, C), lambda n, g: (n, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Gh * ch, W, C), x.dtype),
+            jax.ShapeDtypeStruct((N, Gh * ch, Gw, cw * C), x.dtype),
+            jax.ShapeDtypeStruct((N, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, xw, c, kh, bh, kwm, bw)
+    return h, w.reshape(N, Gh * ch, W, C), psum
+
+
+def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
+                    out_ref, *, R, W, C, act):
+    a = a_ref[0]  # (3, C)
+    y = (h_ref[0] * a[0][None, None, :]
+         + w_ref[0] * a[1][None, None, :]
+         + c_ref[0] * a[2][None, None, :])
+    acc = jax.lax.dot_general(
+        y.reshape(R * W, C), pk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    yp = (acc + pb_ref[0][None, :]).astype(x_ref.dtype).reshape(R, W, C)
+    if act == "tanh":
+        gate = jnp.tanh(yp)
+    elif act == "sigmoid":
+        gate = jax.nn.sigmoid(yp) - 0.5
+    elif act == "relu":
+        gate = jnp.maximum(yp, 0)
+    else:
+        raise ValueError(f"unsupported gate act {act!r}")
+    out_ref[0] = (x_ref[0] + yp) * gate
+
+
+def fused_morphfc_combine(x, h, w, c, a, pk, pb, *, act: str = "tanh",
+                          interpret: bool = False):
+    """softmax-weighted branch sum + projection + symmetric gate.
+
+    x, c: (N, H, W, C); h, w: (N, Hp >= H, W, C) straight from
+    ``fused_morphfc_axes`` (their junk pad rows are never read for
+    in-range output rows and out-of-range rows are dropped); a: (N, 3, C)
+    per-frame softmax weights; pk (C, C), pb (C,).  Returns
+    (x + proj(y)) * act(proj(y)) with y = h*a0 + w*a1 + c*a2 --
+    reference function.py:784-800 semantics.
+    """
+    N, H, W, C = x.shape
+    R = min(16, H)
+    GH = -(-H // R)
+    pbf = pb.astype(jnp.float32).reshape(1, C)
+    kernel = functools.partial(_combine_kernel, R=R, W=W, C=C, act=act)
+    blk = pl.BlockSpec((1, R, W, C), lambda n, i: (n, i, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(N, GH),
+        in_specs=[
+            blk, blk, blk, blk,
+            pl.BlockSpec((1, 3, C), lambda n, i: (n, 0, 0)),
+            pl.BlockSpec(pk.shape, lambda n, i: (0, 0)),
+            pl.BlockSpec(pbf.shape, lambda n, i: (0, 0)),
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((N, GH * R, W, C), x.dtype),
+        interpret=interpret,
+    )(x, h, w, c, a, pk, pbf)
+    return out[:, :H]
