@@ -134,8 +134,14 @@ def main():
 
     if args.what.startswith("morphfc"):
         from vmg_tpu.models.blocks import MorphFCDecay
-        m = MorphFCDecay(C0, 8, 8, channel_mixer="rcab",
-                         fused=args.what.endswith("fused"))
+        impl = "pallas" if "pallas" in args.what else "xla"
+        if "s1" in args.what:
+            H, W, C0, ck = 90, 160, 224, 16
+        else:
+            ck = 8
+        m = MorphFCDecay(C0, ck, ck, channel_mixer="rcab",
+                         fused="fused" in args.what or impl == "pallas",
+                         impl=impl)
         x = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
                         jnp.bfloat16)
         p = jax.jit(m.init)(jax.random.key(0), x)

@@ -138,8 +138,11 @@ def _axes_kernel(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
     acc_w = acc_w * inv_cw
     w_ref[0] = acc_w.reshape(ch, Gw, cw * C).astype(w_ref.dtype)
     wm = jnp.where(rows < valid * Gw, acc_w, jnp.zeros_like(acc_w))
-    psum = psum + jnp.sum(wm, axis=0, keepdims=True).reshape(cw, C).sum(
-        axis=0, keepdims=True)
+    sw = jnp.sum(wm, axis=0, keepdims=True)  # (1, cw*C)
+    # fold (p', c') lanes onto C: per-p lane slices (Mosaic has no
+    # lane -> sublane shape cast for vector<cw*C> -> vector<cw x C>)
+    for p in range(cw):
+        psum = psum + sw[:, p * C:(p + 1) * C]
 
     # ---- c branch partial sums (c itself computed by XLA upstream) ----
     for p in range(ch):
@@ -148,11 +151,11 @@ def _axes_kernel(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
 
     @pl.when(g == 0)
     def _():
-        psum_ref[...] = psum
+        psum_ref[0] = psum
 
     @pl.when(g > 0)
     def _():
-        psum_ref[...] = psum_ref[...] + psum
+        psum_ref[0] = psum_ref[0] + psum
 
 
 def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
@@ -194,16 +197,19 @@ def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
         out_specs=[
             pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
             pl.BlockSpec((1, ch, Gw, cw * C), lambda n, g: (n, g, 0, 0)),
-            pl.BlockSpec((1, C), lambda n, g: (n, 0)),
+            # (1, 1, C): Mosaic requires the last two block dims divisible
+            # by (8, 128) or equal to the array dims -- (1, C) vs (N, C)
+            # is rejected, (1, C) of (N, 1, C) is exact
+            pl.BlockSpec((1, 1, C), lambda n, g: (n, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, Gh * ch, W, C), x.dtype),
             jax.ShapeDtypeStruct((N, Gh * ch, Gw, cw * C), x.dtype),
-            jax.ShapeDtypeStruct((N, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
         ],
         interpret=interpret,
     )(x, xw, c, kh, bh, kwm, bw)
-    return h, w.reshape(N, Gh * ch, W, C), psum
+    return h, w.reshape(N, Gh * ch, W, C), psum.reshape(N, C)
 
 
 def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
