@@ -727,33 +727,41 @@ class MorphFCDecay(nn.Module):
     # (TAB constructs the mixer with impl='xla' when training).
     impl: str = "auto"
 
-    def _pallas_ok(self, x, impl: str) -> bool:
+    def _pallas_mode(self, x, impl: str):
+        """None (XLA module path) | 'full' (axes+combine kernels) |
+        'hybrid' (XLA axis branches + reduce/combine kernels -- for wide
+        stages where the axes kernel's weight form does not fit VMEM or
+        the chunk does not divide C)."""
         B, T, H, W, C = x.shape
         if not (impl in ("pallas", "interpret")
                 or (impl == "auto" and jax.default_backend() == "tpu")):
-            return False
+            return None
         if impl != "interpret" and x.dtype != jnp.bfloat16:
-            return False  # f32 doubles the VMEM working set; XLA path
-        return (self.gating and self.symm and self.relu_scale
+            return None  # f32 doubles the VMEM working set; XLA path
+        if not (self.gating and self.symm and self.relu_scale
                 and not self.relu_scale_norm
-                and self.symm_act in ("tanh", "sigmoid", "relu")
-                and C % self.chunk_h == 0 and C % self.chunk_w == 0
+                and self.symm_act in ("tanh", "sigmoid", "relu")):
+            return None
+        if (C % self.chunk_h == 0 and C % self.chunk_w == 0
                 and W % self.chunk_w == 0
-                and self.chunk_h * C <= 1024 and self.chunk_w * C <= 1024)
+                and self.chunk_h * C <= 1024 and self.chunk_w * C <= 1024):
+            return "full"
+        return "hybrid"
+
+    def _pallas_ok(self, x, impl: str) -> bool:
+        return self._pallas_mode(x, impl) is not None
 
     def _pallas_forward(self, x, interpret: bool):
         """Kernel-fused forward (same params, same math; see
         ops/morphfc_fused for the design and numerics notes)."""
         from vmg_tpu.ops.morphfc_fused import (
-            pack_axis_weights, fused_morphfc_axes, fused_morphfc_combine)
+            fused_morphfc_axes, fused_morphfc_combine)
         B, T, H, W, C = x.shape
         N = B * T
         xf = x.reshape(N, H, W, C)
 
         kh_raw, bh_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_h")()
         kw_raw, bw_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_w")()
-        kh, bh = pack_axis_weights(kh_raw, bh_raw, self.chunk_h, self.decay)
-        kw, bw = pack_axis_weights(kw_raw, bw_raw, self.chunk_w, self.decay)
 
         # c branch stays in XLA (plain convs/dense tile fine on the MXU)
         if self.channel_mixer == "rcab":
@@ -766,22 +774,27 @@ class MorphFCDecay(nn.Module):
         c = (c / C).reshape(N, H, W, C)  # relu_scale (guaranteed by gate)
 
         h, w, psum = fused_morphfc_axes(
-            xf, c, kh, bh, kw, bw, chunk_h=self.chunk_h,
-            chunk_w=self.chunk_w, non_linear=self.non_linear,
-            interpret=interpret)
+            xf, c, kh_raw, bh_raw, kw_raw, bw_raw, chunk_h=self.chunk_h,
+            chunk_w=self.chunk_w, decay=self.decay,
+            non_linear=self.non_linear, interpret=interpret)
+        return self._combine_tail(xf, h, w, c, psum, x.shape, interpret)
 
-        # squeeze-mean + branch softmax (fp32 accumulation came free with
-        # the kernel's partial sums)
+    def _combine_tail(self, xf, hf, wf, cf, psum, shape5, interpret):
+        """Shared kernel tail: squeeze-mean softmax reweight (fp32 sums
+        already reduced to psum (N, C)) + fused combine/proj/gate."""
+        from vmg_tpu.ops.morphfc_fused import fused_morphfc_combine
+        B, T, H, W, C = shape5
+        N = B * T
         a = psum.reshape(B, T, C).sum(axis=1) / float(T * H * W)
         a = Mlp(self.dim, self.dim // 4, self.dim * 3, name="reweight")(
-            a.astype(x.dtype))
+            a.astype(xf.dtype))
         a = a.reshape(B, C, 3).transpose(2, 0, 1).astype(jnp.float32)
-        a = jax.nn.softmax(a, axis=0).astype(x.dtype)  # (3, B, C)
+        a = jax.nn.softmax(a, axis=0).astype(xf.dtype)  # (3, B, C)
         a_n = jnp.broadcast_to(
             a.transpose(1, 0, 2)[:, None], (B, T, 3, C)).reshape(N, 3, C)
 
         pk, pb = _DenseParams(self.dim, name="proj")(C)
-        y = fused_morphfc_combine(xf, h, w, c, a_n, pk, pb,
+        y = fused_morphfc_combine(xf, hf, wf, cf, a_n, pk, pb,
                                   act=self.symm_act, interpret=interpret)
         return y.reshape(B, T, H, W, C)
 
@@ -792,7 +805,8 @@ class MorphFCDecay(nn.Module):
         Cw = -(-C // self.chunk_w) * self.chunk_w
 
         impl = _MORPH_IMPL_OVERRIDE or self.impl
-        if self._pallas_ok(x, impl):
+        mode = self._pallas_mode(x, impl)
+        if mode == "full":
             return self._pallas_forward(x, interpret=impl == "interpret")
 
         x_short = x
@@ -836,6 +850,22 @@ class MorphFCDecay(nn.Module):
             if self.non_linear:
                 c = jax.nn.relu(c)
         c = scale_c(c)
+
+        if mode == "hybrid":
+            # wide stages (chunk*C past the axes kernel's lane budget or
+            # chunk not dividing C): XLA computes the branches, but the
+            # reweight mean and the weighted-sum/proj/gate tail still run
+            # as single-pass kernels instead of XLA's re-read fusions
+            from vmg_tpu.ops.morphfc_fused import fused_morphfc_reduce
+            N = B * T
+            xf = x_short.reshape(N, H, W, C)
+            hf = h.reshape(N, H, W, C)
+            wf = w.reshape(N, H, W, C)
+            cf = c.reshape(N, H, W, C)
+            psum = fused_morphfc_reduce(hf, wf, cf,
+                                        interpret=impl == "interpret")
+            return self._combine_tail(xf, hf, wf, cf, psum, x.shape,
+                                      impl == "interpret")
 
         # squeeze-mean + branch softmax in fp32 (bf16 means over T*H*W drift)
         a = (h + w + c).astype(jnp.float32).mean(axis=(1, 2, 3))  # (B, C)

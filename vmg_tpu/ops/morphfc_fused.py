@@ -100,6 +100,20 @@ def pack_axis_weights(kernel, bias, chunk: int, decay: bool):
     return kp, bp
 
 
+def pack_axis_weights_token(kernel, bias, chunk: int, decay: bool):
+    """Token-form operands: the decayed (C, C) axis weight itself (token
+    features (p, s) -> (p', s'), shared across q) + (1, C) f32 bias."""
+    f = kernel.shape[0]
+    if decay:
+        gamma = morphfc_decay_matrix(chunk, f // chunk)
+        kernel = kernel * gamma.astype(kernel.dtype)
+    if bias is None:
+        bp = jnp.zeros((1, f), jnp.float32)
+    else:
+        bp = bias.astype(jnp.float32).reshape(1, f)
+    return kernel, bp
+
+
 def _axes_kernel(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
                  h_ref, w_ref, psum_ref, *, H, W, C, ch, cw, Gw,
                  non_linear, inv_ch, inv_cw):
@@ -158,18 +172,22 @@ def _axes_kernel(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
         psum_ref[0] = psum_ref[0] + psum
 
 
-def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
-                       non_linear: bool = True, interpret: bool = False):
+def fused_morphfc_axes(x, c, kh_raw, bh_raw, kw_raw, bw_raw, *,
+                       chunk_h: int, chunk_w: int, decay: bool = True,
+                       non_linear: bool = True, interpret: bool = False,
+                       form: str | None = None):
     """Both decayed axis branches + fp32 reweight partial sums.
 
-    x, c: (N, H, W, C) (c already scaled).  kh/bh from
-    ``pack_axis_weights(.., chunk_h, ..)``, kw/bw likewise (kw is
-    consumed as the full (chunk_w*C, chunk_w*C) matrix).  Returns
-    (h (N, Hp, W, C), w (N, Hp, W, C), psum (N, C) f32) where
-    Hp = ceil(H/chunk_h)*chunk_h -- rows >= H are junk and must be
-    dropped by the consumer (``fused_morphfc_combine`` does, for free) --
-    and psum[n] = sum over the REAL (H, W) extent of (h + w + c)[n],
-    branch scales 1/C applied.
+    x, c: (N, H, W, C) (c already scaled); kh_raw/kw_raw the raw (C, C)
+    axis-FC weights, bh_raw/bw_raw their (C,) biases or None.  Form
+    selection: the block-diagonal big-matrix kernel while chunk*C fits
+    the lane budget (<= 1024 lanes; zero relayout, chunk-fold FLOP
+    overhead on the MXU), else the token-form kernel (true FLOPs,
+    chunk^2 lane-slice copies).  Returns (h (N, Hp, W, C),
+    w (N, Hp, W, C), psum (N, C) f32) where Hp = ceil(H/chunk_h)*chunk_h
+    -- rows >= H are junk and must be dropped by the consumer
+    (``fused_morphfc_combine`` does, for free) -- and psum[n] = sum over
+    the REAL (H, W) extent of (h + w + c)[n], branch scales 1/C applied.
     """
     N, H, W, C = x.shape
     ch, cw = chunk_h, chunk_w
@@ -177,11 +195,26 @@ def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
     Gw = W // cw
     Gh = -(-H // ch)
     xw = x.reshape(N, H, Gw, cw * C)
-    kwm = kw.reshape(cw * C, cw * C)
+    token = (ch * C > 1024 or cw * C > 1024) if form is None \
+        else form == "token"
 
-    kernel = functools.partial(
-        _axes_kernel, H=H, W=W, C=C, ch=ch, cw=cw, Gw=Gw,
-        non_linear=non_linear, inv_ch=1.0 / C, inv_cw=1.0 / C)
+    if token:
+        kh, bh = pack_axis_weights_token(kh_raw, bh_raw, ch, decay)
+        kw, bw = pack_axis_weights_token(kw_raw, bw_raw, cw, decay)
+        kernel = functools.partial(
+            _axes_kernel_token, H=H, W=W, C=C, ch=ch, cw=cw, Gw=Gw,
+            Sh=C // ch, Sw=C // cw, non_linear=non_linear, inv_c=1.0 / C)
+        scratch = [pltpu.VMEM((W, C), x.dtype),
+                   pltpu.VMEM((ch, Gw, C), x.dtype)]
+    else:
+        kh, bh = pack_axis_weights(kh_raw, bh_raw, ch, decay)
+        kwp, bw = pack_axis_weights(kw_raw, bw_raw, cw, decay)
+        kw = kwp.reshape(cw * C, cw * C)
+        kernel = functools.partial(
+            _axes_kernel, H=H, W=W, C=C, ch=ch, cw=cw, Gw=Gw,
+            non_linear=non_linear, inv_ch=1.0 / C, inv_cw=1.0 / C)
+        scratch = []
+
     h, w, psum = pl.pallas_call(
         kernel,
         grid=(N, Gh),
@@ -189,9 +222,9 @@ def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
             pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
             pl.BlockSpec((1, ch, Gw, cw * C), lambda n, g: (n, g, 0, 0)),
             pl.BlockSpec((1, ch, W, C), lambda n, g: (n, g, 0, 0)),
-            pl.BlockSpec(kh.shape, lambda n, g: (0, 0, 0)),
+            pl.BlockSpec(kh.shape, lambda n, g: (0,) * kh.ndim),
             pl.BlockSpec(bh.shape, lambda n, g: (0, 0)),
-            pl.BlockSpec(kwm.shape, lambda n, g: (0, 0)),
+            pl.BlockSpec(kw.shape, lambda n, g: (0, 0)),
             pl.BlockSpec(bw.shape, lambda n, g: (0, 0)),
         ],
         out_specs=[
@@ -207,9 +240,141 @@ def fused_morphfc_axes(x, c, kh, bh, kw, bw, *, chunk_h: int, chunk_w: int,
             jax.ShapeDtypeStruct((N, Gh * ch, Gw, cw * C), x.dtype),
             jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
         ],
+        scratch_shapes=scratch,
+        # the token form's 4 double-buffered (chunk, W, C)-class blocks
+        # overflow the default 16M scoped-vmem budget at stage-1 shapes
+        # by ~1M; v5e has headroom, raise the cap for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024) if token else None,
         interpret=interpret,
-    )(x, xw, c, kh, bh, kwm, bw)
+    )(x, xw, c, kh, bh, kw, bw)
     return h, w.reshape(N, Gh * ch, W, C), psum.reshape(N, C)
+
+
+def _axes_kernel_token(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
+                       h_ref, w_ref, psum_ref, patch_h, patch_w, *,
+                       H, W, C, ch, cw, Gw, Sh, Sw, non_linear, inv_c):
+    """Token-form axes kernel for wide stages (chunk * C > lane budget).
+
+    The big-matrix form needs a (chunk*C)^2 weight resident in VMEM --
+    25.7 MB at stage 1 (C=224, chunk 16), impossible.  This variant keeps
+    the TRUE (C, C) axis weight and assembles the (pos, s) token matrix
+    per channel-segment q with lane-slice copies (the group_conv patch
+    pattern, measured legal), paying chunk^2 small copies per branch for
+    a chunk-fold FLOP cut: 16 matmuls of contraction depth C instead of
+    one of depth chunk*C with chunk x zeros.
+    """
+    g = pl.program_id(1)
+    valid = H - g * ch
+
+    # ---- H branch ----
+    psum = jnp.zeros((1, C), jnp.float32)
+    hq_sums = []
+    for q in range(C // Sh):
+        for p in range(ch):
+            row = jnp.where(p < valid, x_ref[0, p, :, q * Sh:(q + 1) * Sh],
+                            jnp.zeros((W, Sh), x_ref.dtype))
+            patch_h[:, p * Sh:(p + 1) * Sh] = row
+        acc = jax.lax.dot_general(
+            patch_h[...], kh_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + bh_ref[0][None, :]
+        if non_linear:
+            acc = jnp.maximum(acc, 0.0)
+        acc = acc * inv_c
+        s_acc = jnp.zeros((1, Sh), jnp.float32)
+        for p2 in range(ch):
+            piece = acc[:, p2 * Sh:(p2 + 1) * Sh]
+            h_ref[0, p2, :, q * Sh:(q + 1) * Sh] = piece.astype(h_ref.dtype)
+            s = jnp.sum(piece, axis=0, keepdims=True)
+            s_acc = s_acc + jnp.where(p2 < valid, s, jnp.zeros_like(s))
+        hq_sums.append(s_acc)
+    psum = psum + jnp.concatenate(hq_sums, axis=1)
+
+    # ---- W branch ----
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ch * Gw, 1), 0)
+    rmask = rows < valid * Gw
+    wq_sums = []
+    for q in range(C // Sw):
+        for p in range(cw):
+            off = p * C + q * Sw
+            patch_w[:, :, p * Sw:(p + 1) * Sw] = xw_ref[0, :, :,
+                                                        off:off + Sw]
+        acc = jax.lax.dot_general(
+            patch_w[...].reshape(ch * Gw, C), kw_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = acc + bw_ref[0][None, :]
+        if non_linear:
+            acc = jnp.maximum(acc, 0.0)
+        acc = acc * inv_c
+        accm = jnp.where(rmask, acc, jnp.zeros_like(acc))
+        acc3 = acc.reshape(ch, Gw, C)
+        s_acc = jnp.zeros((1, Sw), jnp.float32)
+        for p2 in range(cw):
+            off = p2 * C + q * Sw
+            w_ref[0, :, :, off:off + Sw] = (
+                acc3[:, :, p2 * Sw:(p2 + 1) * Sw].astype(w_ref.dtype))
+            s_acc = s_acc + jnp.sum(accm[:, p2 * Sw:(p2 + 1) * Sw], axis=0,
+                                    keepdims=True)
+        wq_sums.append(s_acc)
+    psum = psum + jnp.concatenate(wq_sums, axis=1)
+
+    # ---- c branch partial sums ----
+    for p in range(ch):
+        s = jnp.sum(c_ref[0, p].astype(jnp.float32), axis=0, keepdims=True)
+        psum = psum + jnp.where(p < valid, s, jnp.zeros_like(s))
+
+    @pl.when(g == 0)
+    def _():
+        psum_ref[0] = psum
+
+    @pl.when(g > 0)
+    def _():
+        psum_ref[0] = psum_ref[0] + psum
+
+
+def _reduce_kernel(h_ref, w_ref, c_ref, psum_ref, *, H, R):
+    i = pl.program_id(1)
+    valid = H - i * R
+    psum = jnp.zeros((1, h_ref.shape[-1]), jnp.float32)
+    for r in range(R):
+        s = jnp.sum(h_ref[0, r].astype(jnp.float32)
+                    + w_ref[0, r].astype(jnp.float32)
+                    + c_ref[0, r].astype(jnp.float32),
+                    axis=0, keepdims=True)
+        psum = psum + jnp.where(r < valid, s, jnp.zeros_like(s))
+
+    @pl.when(i == 0)
+    def _():
+        psum_ref[0] = psum
+
+    @pl.when(i > 0)
+    def _():
+        psum_ref[0] = psum_ref[0] + psum
+
+
+def fused_morphfc_reduce(h, w, c, *, interpret: bool = False):
+    """fp32 per-frame sums of (h + w + c) in one streaming pass.
+
+    For shapes where the axes kernel is unavailable (wide stages), the
+    branches come from XLA but the reweight mean does not need XLA's two
+    full-tensor convert_reduce re-reads: one pass over the three branch
+    tensors produces psum (N, C) f32 (the combine kernel then does the
+    rest).  h, w, c: (N, H, W, C).
+    """
+    N, H, W, C = h.shape
+    R = min(16, H)
+    GH = -(-H // R)
+    blk = pl.BlockSpec((1, R, W, C), lambda n, i: (n, i, 0, 0))
+    psum = pl.pallas_call(
+        functools.partial(_reduce_kernel, H=H, R=R),
+        grid=(N, GH),
+        in_specs=[blk, blk, blk],
+        out_specs=pl.BlockSpec((1, 1, C), lambda n, i: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+        interpret=interpret,
+    )(h, w, c)
+    return psum.reshape(N, C)
 
 
 def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
