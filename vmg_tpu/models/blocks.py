@@ -751,11 +751,10 @@ class MorphFCDecay(nn.Module):
     def _pallas_ok(self, x, impl: str) -> bool:
         return self._pallas_mode(x, impl) is not None
 
-    def _pallas_forward(self, x, interpret: bool):
+    def _pallas_forward(self, x, residual, res_scale, interpret: bool):
         """Kernel-fused forward (same params, same math; see
         ops/morphfc_fused for the design and numerics notes)."""
-        from vmg_tpu.ops.morphfc_fused import (
-            fused_morphfc_axes, fused_morphfc_combine)
+        from vmg_tpu.ops.morphfc_fused import fused_morphfc_axes
         B, T, H, W, C = x.shape
         N = B * T
         xf = x.reshape(N, H, W, C)
@@ -777,11 +776,14 @@ class MorphFCDecay(nn.Module):
             xf, c, kh_raw, bh_raw, kw_raw, bw_raw, chunk_h=self.chunk_h,
             chunk_w=self.chunk_w, decay=self.decay,
             non_linear=self.non_linear, interpret=interpret)
-        return self._combine_tail(xf, h, w, c, psum, x.shape, interpret)
+        return self._combine_tail(xf, h, w, c, psum, x.shape,
+                                  residual, res_scale, interpret)
 
-    def _combine_tail(self, xf, hf, wf, cf, psum, shape5, interpret):
+    def _combine_tail(self, xf, hf, wf, cf, psum, shape5, residual,
+                      res_scale, interpret):
         """Shared kernel tail: squeeze-mean softmax reweight (fp32 sums
-        already reduced to psum (N, C)) + fused combine/proj/gate."""
+        already reduced to psum (N, C)) + fused combine/proj/gate
+        (+ the TAB residual trunk when the caller folds it in)."""
         from vmg_tpu.ops.morphfc_fused import fused_morphfc_combine
         B, T, H, W, C = shape5
         N = B * T
@@ -794,12 +796,19 @@ class MorphFCDecay(nn.Module):
             a.transpose(1, 0, 2)[:, None], (B, T, 3, C)).reshape(N, 3, C)
 
         pk, pb = _DenseParams(self.dim, name="proj")(C)
+        res = (None if residual is None
+               else residual.reshape(N, H, W, C))
         y = fused_morphfc_combine(xf, hf, wf, cf, a_n, pk, pb,
-                                  act=self.symm_act, interpret=interpret)
+                                  act=self.symm_act, residual=res,
+                                  res_scale=res_scale, interpret=interpret)
         return y.reshape(B, T, H, W, C)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, res_scale: float = 1.0):
+        """``residual``: optional TAB trunk; when given the output is
+        ``residual + res_scale * mixed`` (the caller skips its own
+        residual add), letting the kernel paths fold the block residual
+        into their final store instead of a separate full pass."""
         B, T, H, W, C = x.shape
         Ch = -(-C // self.chunk_h) * self.chunk_h
         Cw = -(-C // self.chunk_w) * self.chunk_w
@@ -807,7 +816,8 @@ class MorphFCDecay(nn.Module):
         impl = _MORPH_IMPL_OVERRIDE or self.impl
         mode = self._pallas_mode(x, impl)
         if mode == "full":
-            return self._pallas_forward(x, interpret=impl == "interpret")
+            return self._pallas_forward(x, residual, res_scale,
+                                        interpret=impl == "interpret")
 
         x_short = x
         fused = self.fused and not self.relu_scale_norm
@@ -865,6 +875,7 @@ class MorphFCDecay(nn.Module):
             psum = fused_morphfc_reduce(hf, wf, cf,
                                         interpret=impl == "interpret")
             return self._combine_tail(xf, hf, wf, cf, psum, x.shape,
+                                      residual, res_scale,
                                       impl == "interpret")
 
         # squeeze-mean + branch softmax in fp32 (bf16 means over T*H*W drift)
@@ -884,6 +895,8 @@ class MorphFCDecay(nn.Module):
             else:
                 gate = jax.nn.silu(nn.Dense(self.dim, name="gating_fc")(x_short))
                 y = gate * gelu_exact(y)
+        if residual is not None:
+            y = residual + res_scale * y
         return y
 
 
@@ -981,8 +994,13 @@ class TAB(nn.Module):
             raise ValueError(f"unknown mixer_type {self.mixer_type!r}")
 
         dp = DropPath(self.drop_path, name="drop_path")
-        y = mixer(TorchLayerNorm(self.dim, name="norm2")(x))
-        x = x + dp(y, deterministic) * self.mixer_scaling
+        xn = TorchLayerNorm(self.dim, name="norm2")(x)
+        if deterministic and isinstance(mixer, MorphFCDecay):
+            # fold the block residual into the mixer (its kernel paths
+            # apply it in their final store; DropPath is identity here)
+            x = mixer(xn, residual=x, res_scale=self.mixer_scaling)
+        else:
+            x = x + dp(mixer(xn), deterministic) * self.mixer_scaling
         # deterministic == eval/serving.  Training pins the XLA module
         # path: the fused kernel's backward (vjp of the per-group-matmul
         # XLA formulation) measured 4.5x slower per train step than XLA's

@@ -236,8 +236,11 @@ def fused_morphfc_axes(x, c, kh_raw, bh_raw, kw_raw, bw_raw, *,
             pl.BlockSpec((1, 1, C), lambda n, g: (n, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, Gh * ch, W, C), x.dtype),
-            jax.ShapeDtypeStruct((N, Gh * ch, Gw, cw * C), x.dtype),
+            # exact-H arrays: boundary blocks store partially (Pallas
+            # masks out-of-range rows), so no pad rows ever reach HBM
+            # and no slice-copy is needed downstream
+            jax.ShapeDtypeStruct((N, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct((N, H, Gw, cw * C), x.dtype),
             jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
         ],
         scratch_shapes=scratch,
@@ -248,7 +251,7 @@ def fused_morphfc_axes(x, c, kh_raw, bh_raw, kw_raw, bw_raw, *,
             vmem_limit_bytes=28 * 1024 * 1024) if token else None,
         interpret=interpret,
     )(x, xw, c, kh, bh, kw, bw)
-    return h, w.reshape(N, Gh * ch, W, C), psum.reshape(N, C)
+    return h, w.reshape(N, H, W, C), psum.reshape(N, C)
 
 
 def _axes_kernel_token(x_ref, xw_ref, c_ref, kh_ref, bh_ref, kw_ref, bw_ref,
@@ -377,8 +380,8 @@ def fused_morphfc_reduce(h, w, c, *, interpret: bool = False):
     return psum.reshape(N, C)
 
 
-def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
-                    out_ref, *, R, W, C, act):
+def _combine_body(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
+                  *, R, W, C, act):
     a = a_ref[0]  # (3, C)
     y = (h_ref[0] * a[0][None, None, :]
          + w_ref[0] * a[1][None, None, :]
@@ -395,37 +398,63 @@ def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
         gate = jnp.maximum(yp, 0)
     else:
         raise ValueError(f"unsupported gate act {act!r}")
-    out_ref[0] = (x_ref[0] + yp) * gate
+    return (x_ref[0] + yp) * gate
+
+
+def _combine_kernel(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref, pb_ref,
+                    out_ref, *, R, W, C, act):
+    out_ref[0] = _combine_body(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref,
+                               pb_ref, R=R, W=W, C=C, act=act)
+
+
+def _combine_res_kernel(res_ref, x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref,
+                        pb_ref, out_ref, *, R, W, C, act, res_scale):
+    """Combine + the TAB-level residual: out = res + res_scale * mixed
+    (reference function.py:1216 ``x + drop_path(mix) * spatial_scale``,
+    eval path) -- the block residual that XLA would otherwise spend a
+    separate full read+write pass on."""
+    mixed = _combine_body(x_ref, h_ref, w_ref, c_ref, a_ref, pk_ref,
+                          pb_ref, R=R, W=W, C=C, act=act)
+    out_ref[0] = res_ref[0] + res_scale * mixed
 
 
 def fused_morphfc_combine(x, h, w, c, a, pk, pb, *, act: str = "tanh",
+                          residual=None, res_scale: float = 1.0,
                           interpret: bool = False):
     """softmax-weighted branch sum + projection + symmetric gate.
 
-    x, c: (N, H, W, C); h, w: (N, Hp >= H, W, C) straight from
-    ``fused_morphfc_axes`` (their junk pad rows are never read for
-    in-range output rows and out-of-range rows are dropped); a: (N, 3, C)
+    x, h, w, c: (N, H, W, C); a: (N, 3, C)
     per-frame softmax weights; pk (C, C), pb (C,).  Returns
     (x + proj(y)) * act(proj(y)) with y = h*a0 + w*a1 + c*a2 --
-    reference function.py:784-800 semantics.
+    reference function.py:784-800 semantics.  With ``residual`` (the TAB
+    trunk, (N, H, W, C)) the block-level residual is folded in too:
+    ``residual + res_scale * mixed`` (function.py:1216, eval path).
     """
     N, H, W, C = x.shape
     R = min(16, H)
     GH = -(-H // R)
     pbf = pb.astype(jnp.float32).reshape(1, C)
-    kernel = functools.partial(_combine_kernel, R=R, W=W, C=C, act=act)
     blk = pl.BlockSpec((1, R, W, C), lambda n, i: (n, i, 0, 0))
+    small_specs = [
+        pl.BlockSpec((1, 3, C), lambda n, i: (n, 0, 0)),
+        pl.BlockSpec(pk.shape, lambda n, i: (0, 0)),
+        pl.BlockSpec(pbf.shape, lambda n, i: (0, 0)),
+    ]
+    if residual is None:
+        kernel = functools.partial(_combine_kernel, R=R, W=W, C=C, act=act)
+        in_specs = [blk, blk, blk, blk] + small_specs
+        args = (x, h, w, c, a, pk, pbf)
+    else:
+        kernel = functools.partial(_combine_res_kernel, R=R, W=W, C=C,
+                                   act=act, res_scale=float(res_scale))
+        in_specs = [blk, blk, blk, blk, blk] + small_specs
+        args = (residual, x, h, w, c, a, pk, pbf)
     out = pl.pallas_call(
         kernel,
         grid=(N, GH),
-        in_specs=[
-            blk, blk, blk, blk,
-            pl.BlockSpec((1, 3, C), lambda n, i: (n, 0, 0)),
-            pl.BlockSpec(pk.shape, lambda n, i: (0, 0)),
-            pl.BlockSpec(pbf.shape, lambda n, i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((N, GH * R, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, C), x.dtype),
         interpret=interpret,
-    )(x, h, w, c, a, pk, pbf)
-    return out[:, :H]
+    )(*args)
+    return out
