@@ -55,12 +55,19 @@ def main():
     # below bf16 rounding; see models/blocks.py set_fast_gelu)
     from vmg_tpu.models.blocks import set_fast_gelu
     set_fast_gelu(True)
-    # opt-in while under evaluation: bf16 SPyNet basic-module convs (flow
-    # arithmetic stays f32; pixel delta bound tested in
-    # tools/exp_spynet_bf16.py / tests/test_fused_layouts.py)
-    if os.environ.get("VMG_FAST_FLOW", "0") == "1":
+    # default-on serving fast-math: bf16 SPyNet basic-module convs (flow
+    # arithmetic stays f32; pixel delta bound <0.05 px tested in
+    # tests/test_fused_layouts.py).  Measured +0.05 f/s on the full bench
+    # (15.99 -> 16.03, round 4) -- small but fidelity-safe.  Disable with
+    # VMG_FAST_FLOW=0.
+    if os.environ.get("VMG_FAST_FLOW", "1") == "1":
         from vmg_tpu.models.spynet import set_fast_flow
         set_fast_flow(True)
+    # opt-in under measurement: degree-9 polynomial GELU on the FFN
+    # activations (models/blocks.set_poly_gelu)
+    if os.environ.get("VMG_POLY_GELU", "0") == "1":
+        from vmg_tpu.models.blocks import set_poly_gelu
+        set_poly_gelu(True)
 
     model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

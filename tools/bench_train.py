@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--crop", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--grad-acc", type=int, default=1,
+                    help="microbatch accumulation (reference total_batch "
+                         "semantics); batch must be divisible")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable TAB/trajectory rematerialization (fits "
                          "at crop-training sizes; trades memory for the "
@@ -70,7 +73,7 @@ def main():
     }
     params = jax.jit(model.init)(jax.random.key(0), batch["LRs"][:1])
     state = init_train_state(model, params, tcfg, flow_fix=0)
-    step = make_train_step(model, tcfg, grad_acc=1)
+    step = make_train_step(model, tcfg, grad_acc=args.grad_acc)
 
     key = jax.random.key(1)
     state, metrics = step(state, batch, key)  # compile + first step
@@ -82,13 +85,33 @@ def main():
     loss = float(metrics["loss"])  # host fetch fences the stream
     dt = (time.perf_counter() - t0) / args.iters
 
+    # MFU: model FLOPs from the compiled train step's own cost analysis
+    # (fwd + bwd + optimizer as XLA counts them; remat recompute included,
+    # so this is "hardware FLOP utilization" of the executed program) vs
+    # v5e bf16 peak 197 TFLOP/s
+    try:
+        from vmg_tpu.eval.flops import cost_analysis
+        costs = cost_analysis(
+            lambda s_, b_, k_: step(s_, b_, k_), state, batch,
+            jax.random.key(9))
+        step_flops = float(costs.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+    peak = 197e12
+    mfu = step_flops / dt / peak if step_flops else None
+    niter = 400000 if args.preset == "full" else 600000
     rec = {
         "metric": (f"train step ({args.preset} preset, B={B}, T={T}, "
-                   f"{S}x{S} crops, bf16+fp32-flow, one chip)"),
+                   f"{S}x{S} crops, grad_acc={args.grad_acc}, "
+                   "bf16+fp32-flow, one chip)"),
         "value": round(B / dt, 4),
         "unit": "clips/sec",
         "frames_per_sec": round(B * T / dt, 3),
         "step_ms": round(dt * 1e3, 2),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "hw_flop_util_vs_v5e_peak": round(mfu, 4) if mfu else None,
+        "projected_days_for_recipe": round(niter * dt / 86400, 2),
+        "recipe_iters": niter,
         "loss_first": round(loss0, 5),
         "loss_last": round(loss, 5),
     }
