@@ -63,11 +63,8 @@ def main():
     if os.environ.get("VMG_FAST_FLOW", "1") == "1":
         from vmg_tpu.models.spynet import set_fast_flow
         set_fast_flow(True)
-    # opt-in under measurement: degree-9 polynomial GELU on the FFN
-    # activations (models/blocks.set_poly_gelu)
-    if os.environ.get("VMG_POLY_GELU", "0") == "1":
-        from vmg_tpu.models.blocks import set_poly_gelu
-        set_poly_gelu(True)
+    # (a polynomial-GELU serving switch was measured SLOWER than tanh on
+    # this bench -- 15.79 vs 16.03 f/s, round 4 -- and deleted)
 
     model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

@@ -75,10 +75,10 @@ def main():
     from vmg_tpu.models.trajectory import LTAM
     lr = jnp.asarray(rng.random((1, H, W, C), np.float32) - 0.5, dt)
     ltam = LTAM(embed_dim=C, head=4, mode="wins", twins=(2, 2),
-                head_scale=True, traj_scale=True,
-                keys_prenormalized=True, presampled=True, win_impl="pallas")
-    p = jax.jit(ltam.init, static_argnums=())(
-        jax.random.key(0), lr, None, feat, None, None, kv_packed=buf)
+                if_scale=True, keys_prenormalized=True, presampled=True,
+                win_impl="pallas")
+    p = jax.jit(lambda k: ltam.init(k, lr, None, feat, None, None,
+                                    kv_packed=buf))(jax.random.key(0))
     f_ltam = jax.jit(lambda q, fp, kv: ltam.apply(p, q, None, fp, None, None,
                                                   kv_packed=kv))
     t1 = timed(f_ltam, lr, feat, buf)

@@ -180,7 +180,9 @@ def main():
         from vmg_tpu.configs import FULL_PRESET
         from vmg_tpu.models import create_model
         from vmg_tpu.models.blocks import set_fast_gelu
+        from vmg_tpu.models.spynet import set_fast_flow
         set_fast_gelu(True)  # match bench.py serving fast-math
+        set_fast_flow(True)  # bench default since round 4
         model = create_model(FULL_PRESET, is_train=False, dtype=jnp.bfloat16)
         model_f32 = create_model(FULL_PRESET, is_train=False)
         x = jnp.asarray(rng.random((1, T, H, W, 3), dtype=np.float32))

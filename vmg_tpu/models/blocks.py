@@ -30,10 +30,10 @@ from vmg_tpu.ops.decay import morphfc_decay_matrix
 # opt in to the tanh approximation.  Trace-time constant: flip it BEFORE
 # jitting (bench.py / eval serving paths do).
 _GELU_APPROXIMATE = False
-# serving-only, separately opt-in: degree-9 odd-polynomial GELU
-# (ops/group_conv.gelu_poly, |err| <= 3.9e-3 f32) -- cheaper still on the
-# VPU; used where the activation is the roofline (stage-0 FFN).
-_GELU_POLY = False
+# NOTE: a degree-9 polynomial GELU (ops/group_conv.gelu_poly) was also
+# wired here as a serving switch and MEASURED SLOWER than the tanh form
+# on the full bench (15.79 vs 16.03 f/s, round 4) -- the switch is
+# deleted; the kernel-side 'poly' flavor remains available and tested.
 
 
 def set_fast_gelu(on: bool) -> bool:
@@ -46,19 +46,7 @@ def set_fast_gelu(on: bool) -> bool:
     return prev
 
 
-def set_poly_gelu(on: bool) -> bool:
-    """Serving-only: polynomial GELU in subsequently traced models (see
-    ops/group_conv.gelu_poly).  Returns the previous setting."""
-    global _GELU_POLY
-    prev = _GELU_POLY
-    _GELU_POLY = bool(on)
-    return prev
-
-
 def gelu_exact(x):
-    if _GELU_POLY:
-        from vmg_tpu.ops.group_conv import gelu_poly
-        return gelu_poly(x)
     return jax.nn.gelu(x, approximate=_GELU_APPROXIMATE)
 
 
@@ -94,8 +82,6 @@ def set_morph_impl(impl: Optional[str]) -> Optional[str]:
 
 def _gelu_flavor() -> str:
     """Trace-time GELU flavor tag for fused kernels (matches gelu_exact)."""
-    if _GELU_POLY:
-        return "poly"
     return "tanh" if _GELU_APPROXIMATE else "erf"
 
 
