@@ -481,3 +481,29 @@ def test_spynet_fast_flow_close_to_exact():
     # random-init weights, small flows: bf16 conv rounding stays sub-pixel
     assert np.abs(fast - exact).max() < 0.2
     assert np.abs(fast - exact).mean() < 0.02
+
+
+def test_traj_flat_carry_equivalent():
+    """flat_carry (rank-3 scan carries, layout experiment) is a pure
+    reshape round-trip: identical outputs on the pallas-interpret path."""
+    from vmg_tpu.models.trajectory import TrajectoryMultiHead
+
+    rng = np.random.default_rng(23)
+    B, T, H, W, C = 1, 7, 8, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    ff = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+    fb = jnp.asarray(rng.standard_normal((B, T - 1, H, W, 2)) * 2,
+                     jnp.float32)
+
+    def mk(flat):
+        return TrajectoryMultiHead(
+            embed_dim=C, num_blocks=2, keyframe_stride=3, head=4,
+            mode="wins", r_scaling=0.1, ltam=True, carry_impl="warped",
+            win_impl="pallas", pallas_interpret=True, flat_carry=flat)
+
+    a, b = mk(False), mk(True)
+    params = jax.jit(a.init)(jax.random.key(24), x, ff, fb)
+    oa = jax.jit(a.apply)(params, x, ff, fb)
+    ob = jax.jit(b.apply)(params, x, ff, fb)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))

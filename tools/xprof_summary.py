@@ -162,12 +162,13 @@ def main():
         p = cast_params_for_compute(p, jnp.bfloat16)
         fn = jax.jit(lambda p_, v: m.apply(p_, v, True))
         fargs = (p, x)
-    elif args.what == "traj":
+    elif args.what.startswith("traj"):
         from vmg_tpu.models.trajectory import TrajectoryMultiHead
         traj = TrajectoryMultiHead(embed_dim=C0, num_blocks=15,
                                    keyframe_stride=3, head=4, mode="wins",
                                    r_scaling=0.1, ltam=True, traj_win=16,
-                                   win_impl="auto")
+                                   win_impl="auto",
+                                   flat_carry=args.what.endswith("flat"))
         xt = jnp.asarray(rng.random((1, T, H, W, C0), dtype=np.float32),
                          jnp.bfloat16)
         ff = jnp.asarray(rng.random((1, T - 1, H, W, 2), dtype=np.float32))

@@ -429,6 +429,12 @@ class _TrajStep(nn.Module):
     # slot, CP=cpad(C) value lanes then CP normalized-key lanes
     pallas_attn: bool = False
     pallas_interpret: bool = False
+    # carry tensors cross the scan boundary flattened to (B, H*W, C*):
+    # XLA's layout assignment was observed pinning the 4D carry W-major
+    # ({3,1,2,0}), which drags ~a third of the in-scan resblock convs to
+    # ~0.30 ms each vs 0.13 standalone; the rank-3 carry leaves the body
+    # free to pick row-major (experimental flag, A/B in xprof traj)
+    flat_carry: bool = False
 
     @nn.compact
     def __call__(self, carry, xs, sparse_buf, index_buf, sparse_s2,
@@ -441,6 +447,9 @@ class _TrajStep(nn.Module):
         if self.carry_impl == "warped" and self.pallas_attn:
             from vmg_tpu.ops.ltam_attention import cpad
             feat_prop, warped = carry  # (B,H,W,C), (B,H,W,K*2*CP)
+            if self.flat_carry:
+                feat_prop = feat_prop.reshape(B, H, W, C)
+                warped = warped.reshape(B, H, W, -1)
             K = warped.shape[-1] // (2 * cpad(C))
             if K:
                 feat_prop = flow_warp(feat_prop, flow, "bilinear", "border")
@@ -497,6 +506,10 @@ class _TrajStep(nn.Module):
         # input, fp32 params) the conv output promotes to fp32 and the
         # scan would reject the carry
         feat_prop = feat_prop.astype(lr.dtype)
+        if self.flat_carry and self.carry_impl == "warped" \
+                and self.pallas_attn:
+            return (feat_prop.reshape(B, H * W, C),
+                    rest.reshape(B, H * W, -1)), feat_prop
         return (feat_prop, rest), feat_prop
 
 
@@ -540,6 +553,8 @@ class TrajectoryMultiHead(nn.Module):
     # serving fast path); 'loc' carries per-slot location maps and gathers
     # the static buffers each step (reference-shaped; equivalence oracle)
     carry_impl: str = "warped"
+    # rank-3 scan carries (see _TrajStep.flat_carry); experimental
+    flat_carry: bool = False
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
@@ -607,8 +622,11 @@ class TrajectoryMultiHead(nn.Module):
             carry_impl=self.carry_impl,
             pallas_attn=pallas_attn,
             pallas_interpret=self.pallas_interpret,
+            flat_carry=self.flat_carry and pallas_attn,
             name="step",
         )
+        flat_active = (self.flat_carry and pallas_attn
+                       and self.carry_impl == "warped")
 
         # segment boundaries: [0] alone (count 0), then runs of `stride`
         # steps each ending at a keyframe step (count constant inside)
@@ -641,8 +659,16 @@ class TrajectoryMultiHead(nn.Module):
             for a, b in segments:
                 xs = {"feat": feats_dir[a:b + 1], "flow": flows_dir[a:b + 1]}
                 rest = warped if warped_mode else loc
-                (feat_prop, rest), ys = step((feat_prop, rest), xs,
+                if flat_active:
+                    carry_in = (feat_prop.reshape(N, H * W, C),
+                                rest.reshape(N, H * W, -1))
+                else:
+                    carry_in = (feat_prop, rest)
+                (feat_prop, rest), ys = step(carry_in, xs,
                                              sparse, index, s2, s3)
+                if flat_active:
+                    feat_prop = feat_prop.reshape(N, H, W, C)
+                    rest = rest.reshape(N, H, W, -1)
                 if warped_mode:
                     warped = rest
                 else:
