@@ -109,6 +109,7 @@ def main():
     # claim for this repo.  vs_a100_band spans [conservative, optimistic];
     # speed_of_light (perfect overlap at hardware peaks) is reported so
     # the bar stays visible: 3x the optimistic estimate is ~37 f/s.
+    import sys
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tools", "roofline_a100.json")) as f:
@@ -116,7 +117,12 @@ def main():
         a100_opt = float(rf["optimistic_util"])
         a100_cons = float(rf["conservative_util"])
         a100_sol = float(rf["speed_of_light"])
-    except Exception:
+    except Exception as e:
+        # ADVICE r4: do not silently substitute constants that can drift
+        # from tools/roofline_a100.py -- log the fallback loudly.
+        print(f"WARNING: tools/roofline_a100.json unreadable ({e}); "
+              "using frozen round-4 roofline constants "
+              "(opt=12.27 cons=6.92 sol=30.2 f/s)", file=sys.stderr)
         a100_opt, a100_cons, a100_sol = 12.27, 6.92, 30.2
     print(json.dumps({
         "metric": "REDS4 4x VSR throughput (full VMG, 180x320 full-frame, "

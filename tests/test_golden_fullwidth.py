@@ -14,12 +14,13 @@ converter), so this also exercises the checkpoint path at full width.
 CPU fp32; marked slow.
 """
 
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 torch = pytest.importorskip("torch")
 

@@ -30,7 +30,8 @@ from vmg_tpu.ckpt.torch_convert import convert_torch_state_dict  # noqa: E402
 def _build_pair(ref_vmg, *, temporal_empty=True, temporal_type=(False, None),
                 channel_mixer="rcab", ffn_type="ffn_cnn", non_linear=True,
                 ret_decay=True, gating=True, use_mdsc=False,
-                if_local_fuse=True, seed=0):
+                if_local_fuse=True, seed=0, is_train=False,
+                drop_path_rate=0.0):
     torch.manual_seed(seed)
     common = dict(
         embed_dim=[32, 32, 32], depths=[2, 2, 2], num_heads=[2, 4, 2],
@@ -71,8 +72,11 @@ def _build_pair(ref_vmg, *, temporal_empty=True, temporal_type=(False, None),
         r_scaling=0.1, chunk_ratios=(0.25, 0.25), traj_mode="wins",
         twins=(2, 2), traj_scale=True, if_local_fuse=if_local_fuse,
         channel_mixer=channel_mixer, image_size=(32, 32),
+        drop_path_rate=drop_path_rate,
     )
-    mine = create_model(cfg, is_train=False)
+    mine = create_model(cfg, is_train=is_train)
+    if is_train:
+        ref.train()
     return ref, mine
 
 

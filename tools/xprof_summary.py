@@ -52,6 +52,166 @@ def summarize_xplane(logdir, topk=25):
     return per_op, per_kind, total
 
 
+def sync_ops_with_scope(logdir):
+    """Per-op sync-timeline accounting with HLO metadata.
+
+    Returns (spans, total_ms) where spans is a list of dicts
+    {dur, name, scope, category} for every SYNC event on the XLA Ops
+    line (async -start/-done DMA spans excluded, same rule as
+    gap_analysis), aggregated by op instance name.  ``scope`` is the
+    op's source scope (the jax name-stack recorded in op_name metadata),
+    which is what lets the ``--mode bins`` report bin fusions by model
+    component instead of by opaque fusion ids.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    path = max(files, key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    agg = {}
+    total = 0.0
+    for plane in xs.planes:
+        if "TPU" not in plane.name or "Step" in plane.name:
+            continue
+        ev_names = plane.event_metadata
+        stat_names = plane.stat_metadata
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "XLA Op" != line.name:
+                continue
+            for ev in line.events:
+                md = ev_names[ev.metadata_id]
+                name = md.name
+                base = name.split(" ", 1)[0]
+                if base.endswith("-start") or base.endswith("-done"):
+                    continue
+                dur = ev.duration_ps / 1e9  # ms
+                total += dur
+                if name in agg:
+                    agg[name]["dur"] += dur
+                    agg[name]["count"] += 1
+                    continue
+                def stat_val(st):
+                    if st.str_value:
+                        return st.str_value
+                    if st.bytes_value:
+                        return st.bytes_value.decode("utf-8", "replace")
+                    if st.ref_value:  # interned string
+                        return stat_names[st.ref_value].name
+                    for f in ("int64_value", "uint64_value",
+                              "double_value"):
+                        v = getattr(st, f, 0)
+                        if v:
+                            return str(v)
+                    return ""
+
+                stats = {}
+                for st in list(ev.stats) + list(md.stats):
+                    stats[stat_names[st.metadata_id].name] = stat_val(st)
+                agg[name] = {
+                    "dur": dur, "count": 1, "name": name,
+                    "stats": stats,
+                }
+    return list(agg.values()), total
+
+
+def dump_scope_stats(logdir, topk=40, min_ms=0.0):
+    """Print every sync op >= min_ms with its full metadata stats (used
+    once to discover which stat keys carry the jax scope, then by --mode
+    bins for the itemization)."""
+    spans, total = sync_ops_with_scope(logdir)
+    spans.sort(key=lambda d: -d["dur"])
+    print(f"sync total {total:.2f} ms over {len(spans)} distinct ops")
+    for d in spans[:topk]:
+        if d["dur"] < min_ms:
+            break
+        print(f"\n{d['dur']:8.3f} ms x{d['count']:<4d} {d['name']}")
+        for k, v in d["stats"].items():
+            if v:
+                print(f"        {k}: {str(v)[:160]}")
+
+
+# (pool, regex over the first repo line of the op's source_stack) --
+# first match wins.  Built from the round-5 scopes dump of the serving
+# trace (every sync leaf >= 2 ms lands in a named pool, VERDICT r4 #1).
+POOL_PATTERNS = [
+    ("trajectory in-scan resblock convs", r"trajectory\.py:(7[0-9]|8[0-9]|9[0-9])"),
+    ("trajectory scan (other)", r"trajectory\.py|axes_scan"),
+    ("LTAM kernel", r"ltam_attention"),
+    ("FFN kernels", r"group_conv\.py"),
+    ("MorphFC fused kernels", r"morphfc_fused"),
+    ("RCAB c-branch convs", r"blocks\.py:(5[0-9][0-9])"),
+    ("stage-1..5 XLA axis branches", r"blocks\.py:(6[0-9][0-9]|8[0-9][0-9])"),
+    ("TAB norms/gates/misc", r"blocks\.py|norms\.py"),
+    ("flow warps (gathers)", r"ops/warp\.py"),
+    ("SPyNet convs", r"spynet\.py"),
+    ("recon head", r"pixel_shuffle\.py|vmg\.py:4[23][0-9]"),
+    ("U-Net resample/skips/proj/misc", r"vmg\.py|resize\.py"),
+]
+
+# umbrella / async categories excluded from the leaf sync accounting:
+# copy-start spans are ASYNC copies overlapping compute, 'while' events
+# span their whole loop (their inner ops are listed separately)
+NON_LEAF_CATEGORIES = {"copy-start", "copy-done", "async-start",
+                       "async-done", "while", "conditional", "call"}
+
+
+def print_bins(logdir, topk=30):
+    """Pool itemization over the SYNC LEAF timeline: bin every leaf op
+    by its first repo source line, print the pool table (sums to ~wall),
+    each pool's largest members, and the async-copy totals separately."""
+    import re as _re
+    spans, _ = sync_ops_with_scope(logdir)
+
+    def srckey(d):
+        st = (d["stats"].get("source_stack", "")
+              or d["stats"].get("source", ""))
+        for ln in st.split("\n"):
+            if "vmg_tpu" in ln:
+                return ln.strip().split("/vmg_tpu/")[-1]
+        first = st.split("\n")[0].strip()
+        return first.split("site-packages/")[-1] if first else "?"
+
+    leaf, asyncs, whiles = [], [], []
+    for d in spans:
+        cat = d["stats"].get("hlo_category", "?")
+        (asyncs if cat in ("copy-start", "async-start") else
+         whiles if cat == "while" else
+         leaf if cat not in NON_LEAF_CATEGORIES else []).append(d)
+        d["scope"] = srckey(d)
+
+    pools = defaultdict(list)
+    for d in leaf:
+        for pool, pat in POOL_PATTERNS:
+            if _re.search(pat, d["scope"]):
+                pools[pool].append(d)
+                break
+        else:
+            pools["UNBINNED"].append(d)
+    total = sum(x["dur"] for x in leaf)
+    print(f"sync LEAF total {total:.2f} ms "
+          f"(async copy spans {sum(x['dur'] for x in asyncs):.0f} ms "
+          f"overlap it; 'while' umbrellas {sum(x['dur'] for x in whiles):.0f} ms"
+          f" contain the in-scan leaves); pool table:")
+    rows = sorted(pools.items(), key=lambda kv: -sum(x["dur"]
+                                                     for x in kv[1]))
+    for pool, ds in rows:
+        t = sum(x["dur"] for x in ds)
+        print(f"  {t:8.2f} ms {100 * t / total:5.1f}%  {pool} "
+              f"({sum(x['count'] for x in ds)} events)")
+    for pool, ds in rows:
+        ds.sort(key=lambda d: -d["dur"])
+        print(f"\n-- {pool}: top members --")
+        for d in ds[:topk if pool == 'UNBINNED' else 6]:
+            print(f"  {d['dur']:8.3f} ms x{d['count']:<4d} "
+                  f"{d['name'].split(' ')[0][:36]:36s} {d['scope'][:70]}")
+
+
 def gap_analysis(logdir, topk=12):
     """Timeline view of the synchronous op stream.
 
@@ -119,7 +279,30 @@ def main():
     ap.add_argument("--what", default="morphfc_fused")
     ap.add_argument("--logdir", default="/tmp/vmg_xprof")
     ap.add_argument("--topk", type=int, default=20)
+    ap.add_argument("--mode", default="summary",
+                    choices=["summary", "scopes", "bins"],
+                    help="summary: op/kind tables + gaps; scopes: every "
+                         "sync op with full HLO metadata; bins: pool "
+                         "itemization table")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip running/tracing; summarize the existing "
+                         "logdir")
     args = ap.parse_args()
+
+    if args.reuse:
+        if args.mode == "scopes":
+            dump_scope_stats(args.logdir, args.topk, min_ms=1.0)
+        elif args.mode == "bins":
+            print_bins(args.logdir, args.topk)
+        else:
+            per_op, per_kind, total = summarize_xplane(args.logdir,
+                                                       args.topk)
+            print(f"device total: {total:.2f} ms")
+            for k, v in sorted(per_kind.items(), key=lambda kv: -kv[1])[
+                    :args.topk]:
+                print(f"{v:9.3f} ms  {k}")
+            gap_analysis(args.logdir)
+        return
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
@@ -201,6 +384,13 @@ def main():
         jax.tree.leaves(out)[0].block_until_ready()
         float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
 
+    if args.mode == "scopes":
+        dump_scope_stats(args.logdir, args.topk, min_ms=1.0)
+        return
+    if args.mode == "bins":
+        print_bins(args.logdir, args.topk)
+        gap_analysis(args.logdir)
+        return
     per_op, per_kind, total = summarize_xplane(args.logdir, args.topk)
     print(f"device total: {total:.2f} ms")
     print("\n-- by kind --")

@@ -286,7 +286,9 @@ class MlpCnn(nn.Module):
         B, T, H, W, C = x.shape
         hidden = int(self.dim * self.exp_r)
         y = x.reshape(B * T, H, W, C)
-        impl = _FFN_IMPL_OVERRIDE or self.impl
+        # explicit 'xla' pin (training) beats the global serving override
+        impl = (self.impl if self.impl == "xla"
+                else (_FFN_IMPL_OVERRIDE or self.impl))
         use_pallas = self.n_groups > 1 and (
             impl in ("pallas", "interpret") or
             (impl == "auto" and jax.default_backend() == "tpu"))
@@ -459,8 +461,10 @@ class CALayer(nn.Module):
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x):  # (N, H, W, C)
-        y = x.mean(axis=(1, 2), keepdims=True)
+    def __call__(self, x, mean=None):  # (N, H, W, C)
+        """``mean``: precomputed (N, 1, 1, C) global pool (the fused RCAB
+        kernel emits it as f32 partial sums); defaults to pooling x."""
+        y = x.mean(axis=(1, 2), keepdims=True) if mean is None else mean
         y = nn.Conv(self.channel // self.reduction, (1, 1), kernel_init=torch_conv_kernel_init(), name="conv_du0")(y)
         y = jax.nn.relu(y)
         y = nn.Conv(self.channel, (1, 1), kernel_init=torch_conv_kernel_init(), name="conv_du1")(y)
@@ -468,16 +472,53 @@ class CALayer(nn.Module):
         return x * y
 
 
+class _Conv3x3Params(nn.Module):
+    """Param-only twin of nn.Conv(3x3, torch_conv_kernel_init()) so fused
+    kernels can take over the compute on an identical checkpoint tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", torch_conv_kernel_init(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class RCAB(nn.Module):
-    """conv-ReLU-conv + SE, residual (reference RCAB:561, reduction=8)."""
+    """conv-ReLU-conv + SE, residual (reference RCAB:561, reduction=8).
+
+    ``impl``: 'xla' (module convs; training/CPU default) | 'auto'/'pallas'
+    (serving: both 3x3 convs + the SE pooling sums in ONE fused Pallas
+    pass, ops/conv_chain -- the round-4 trace had these convs riding XLA
+    transposed layouts between two Pallas calls at ~2x roofline) |
+    'interpret'.  Kernel path requires C <= 128; no VJP (serving only).
+    """
 
     n_feat: int
     reduction: int = 8
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):  # (B, T, H, W, C)
         B, T, H, W, C = x.shape
         y = x.reshape(B * T, H, W, C)
+        use_pallas = self.n_feat <= 128 and (
+            self.impl in ("pallas", "interpret")
+            or (self.impl == "auto" and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from vmg_tpu.ops.conv_chain import fused_conv_chain
+            k1, b1 = _Conv3x3Params(self.n_feat, name="body0")(C)
+            k2, b2 = _Conv3x3Params(self.n_feat, name="body1")(C)
+            res, psum = fused_conv_chain(
+                y, k1, b1, k2, b2, emit_psum=True,
+                interpret=self.impl == "interpret")
+            mean = (psum / float(H * W)).astype(y.dtype).reshape(
+                B * T, 1, 1, C)
+            res = CALayer(self.n_feat, self.reduction, name="ca")(
+                res, mean=mean)
+            return (y + res).reshape(B, T, H, W, C)
         res = nn.Conv(self.n_feat, (3, 3), padding=1, kernel_init=torch_conv_kernel_init(), name="body0")(y)
         res = jax.nn.relu(res)
         res = nn.Conv(self.n_feat, (3, 3), padding=1, kernel_init=torch_conv_kernel_init(), name="body1")(res)
@@ -723,7 +764,16 @@ class MorphFCDecay(nn.Module):
                 or (impl == "auto" and jax.default_backend() == "tpu")):
             return None
         if impl != "interpret" and x.dtype != jnp.bfloat16:
-            return None  # f32 doubles the VMEM working set; XLA path
+            # f32 doubles the VMEM working set; XLA path.  An explicit
+            # 'pallas' request falling through here would silently
+            # measure the wrong path -- say so (ADVICE r4).
+            if impl == "pallas":
+                import warnings
+                warnings.warn(
+                    f"MorphFCDecay impl='pallas' requested but input dtype "
+                    f"is {x.dtype}; falling back to the XLA module path "
+                    f"(kernels are bf16-only)", stacklevel=3)
+            return None
         if not (self.gating and self.symm and self.relu_scale
                 and not self.relu_scale_norm
                 and self.symm_act in ("tanh", "sigmoid", "relu")):
@@ -748,9 +798,20 @@ class MorphFCDecay(nn.Module):
         kh_raw, bh_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_h")()
         kw_raw, bw_raw = _AxisFCParams(C, self.qkv_bias, name="mlp_w")()
 
-        # c branch stays in XLA (plain convs/dense tile fine on the MXU)
         if self.channel_mixer == "rcab":
-            c = RCAB(self.dim, name="mlp_c")(x)
+            # The fused RCAB conv-chain kernel (ops/conv_chain) was
+            # MEASURED SLOWER here -- 6.73 vs 4.10 ms standalone
+            # (marginal), 16.06 -> 15.62 f/s on the full bench: XLA's
+            # dense 112-lane convs already run near the MXU ceiling
+            # (~122 TF/s isolated-dot bound), so the kernel's copy/mask
+            # overhead has nothing to win back (docs/PERF.md round 5).
+            # VMG_RCAB_KERNEL=1 re-enables for A/B.
+            import os
+            rcab_impl = ("interpret" if interpret else
+                         ("auto" if os.environ.get("VMG_RCAB_KERNEL",
+                                                   "0") == "1"
+                          else "xla"))
+            c = RCAB(self.dim, impl=rcab_impl, name="mlp_c")(x)
         else:
             c = nn.Dense(self.dim, use_bias=self.qkv_bias,
                          kernel_init=trunc_normal_init(), name="mlp_c")(x)
@@ -799,7 +860,12 @@ class MorphFCDecay(nn.Module):
         Ch = -(-C // self.chunk_h) * self.chunk_h
         Cw = -(-C // self.chunk_w) * self.chunk_w
 
-        impl = _MORPH_IMPL_OVERRIDE or self.impl
+        # The global override is a serving/profiling knob; an explicit
+        # per-module 'xla' pin (TAB sets it when training -- the kernels
+        # have no VJP) always wins, so set_morph_impl('pallas') cannot
+        # push a training trace onto a kernel with no backward.
+        impl = (self.impl if self.impl == "xla"
+                else (_MORPH_IMPL_OVERRIDE or self.impl))
         mode = self._pallas_mode(x, impl)
         if mode == "full":
             return self._pallas_forward(x, residual, res_scale,

@@ -44,13 +44,34 @@ from vmg_tpu.models.blocks import leaky_relu, torch_conv_kernel_init, trunc_norm
 
 
 class ResidualBlockNoBN(nn.Module):
-    """conv-ReLU-conv with scaled residual (reference trajectory.py:165)."""
+    """conv-ReLU-conv with scaled residual (reference trajectory.py:165).
+
+    ``impl``: 'xla' (module convs; training/CPU) | 'auto'/'pallas'
+    (serving: the whole block as ONE fused Pallas pass, ops/conv_chain).
+    Inside the trajectory scan XLA pins the carry layout W-major and
+    drags ~1/3 of these convs to 2.3x their standalone cost
+    (NOTES_ROUND5); the pallas_call boundary forces row-major operands
+    -- the layout pin the scan body needs.  No VJP: training keeps 'xla'.
+    """
 
     mid_channels: int
     res_scale: float = 1.0
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
+        use_pallas = self.mid_channels <= 128 and (
+            self.impl in ("pallas", "interpret")
+            or (self.impl == "auto" and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from vmg_tpu.models.blocks import _Conv3x3Params
+            from vmg_tpu.ops.conv_chain import fused_conv_chain
+            C = x.shape[-1]
+            k1, b1 = _Conv3x3Params(self.mid_channels, name="conv1")(C)
+            k2, b2 = _Conv3x3Params(self.mid_channels, name="conv2")(C)
+            return fused_conv_chain(x, k1, b1, k2, b2,
+                                    res_scale=self.res_scale,
+                                    interpret=self.impl == "interpret")
         out = nn.Conv(self.mid_channels, (3, 3), padding=1,
                       kernel_init=torch_conv_kernel_init(), name="conv1")(x)
         out = jax.nn.relu(out)
@@ -65,6 +86,7 @@ class ResidualBlocksWithInputConv(nn.Module):
     out_channels: int
     num_blocks: int
     res_scale: float = 1.0
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +94,9 @@ class ResidualBlocksWithInputConv(nn.Module):
                     kernel_init=torch_conv_kernel_init(), name="conv_in")(x)
         x = leaky_relu(x, 0.1)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.out_channels, self.res_scale, name=f"block{i}")(x)
+            x = ResidualBlockNoBN(self.out_channels, self.res_scale,
+                                  impl=self.conv_impl,
+                                  name=f"block{i}")(x)
         return x
 
 
@@ -435,6 +459,7 @@ class _TrajStep(nn.Module):
     # ~0.30 ms each vs 0.13 standalone; the rank-3 carry leaves the body
     # free to pick row-major (experimental flag, A/B in xprof traj)
     flat_carry: bool = False
+    conv_impl: str = "xla"  # resblock impl (ResidualBlockNoBN.impl)
 
     @nn.compact
     def __call__(self, carry, xs, sparse_buf, index_buf, sparse_s2,
@@ -498,9 +523,24 @@ class _TrajStep(nn.Module):
                       sparse_s2=sparse_s2, sparse_s3=sparse_s3)
             rest = loc
 
+        rb_in = jnp.concatenate([lr, feat_prop], axis=-1)
+        if self.conv_impl == "barrier":
+            # identity Pallas pass: pins the scan-local tensor to the
+            # default row-major layout before the conv chain (one extra
+            # read+write; A/B vs the W-major carry penalty)
+            from vmg_tpu.ops.conv_chain import layout_pin
+            rb_in = layout_pin(rb_in)
         feat_prop = ResidualBlocksWithInputConv(
-            self.embed_dim, self.num_blocks, self.r_scaling, name="resblocks"
-        )(jnp.concatenate([lr, feat_prop], axis=-1))
+            self.embed_dim, self.num_blocks, self.r_scaling,
+            conv_impl=("xla" if self.conv_impl in ("barrier", "barrier_out")
+                       else self.conv_impl), name="resblocks"
+        )(rb_in)
+        if self.conv_impl == "barrier_out":
+            # pin the chain OUTPUT instead: layout assignment propagates
+            # backward from the consumer (the W-major carry), so a
+            # row-major pin here should free the chain's internal convs
+            from vmg_tpu.ops.conv_chain import layout_pin
+            feat_prop = layout_pin(feat_prop)
 
         # pin the carry dtype to the feature dtype: under mixed init (bf16
         # input, fp32 params) the conv output promotes to fp32 and the
@@ -555,6 +595,10 @@ class TrajectoryMultiHead(nn.Module):
     carry_impl: str = "warped"
     # rank-3 scan carries (see _TrajStep.flat_carry); experimental
     flat_carry: bool = False
+    # resblock conv implementation inside the scan (see ResidualBlockNoBN
+    # .impl): 'auto' = fused conv-chain Pallas kernel on TPU (serving; no
+    # VJP -- the model passes 'xla' when training)
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward):
@@ -623,6 +667,7 @@ class TrajectoryMultiHead(nn.Module):
             pallas_attn=pallas_attn,
             pallas_interpret=self.pallas_interpret,
             flat_carry=self.flat_carry and pallas_attn,
+            conv_impl=self.conv_impl,
             name="step",
         )
         flat_active = (self.flat_carry and pallas_attn

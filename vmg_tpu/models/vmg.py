@@ -13,6 +13,7 @@ Stage tails by ``temporal_type[i]`` (reference ``models/function.py:1341``):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import numpy as np
@@ -230,6 +231,16 @@ class MlpEncoderStage(nn.Module):
                 # custom VJP, ops/ltam_attention) and to the XLA windows
                 # form elsewhere
                 win_impl="auto",
+                # in-scan resblock impl: 'xla' everywhere.  The fused
+                # conv-chain Pallas resblock (ops/conv_chain) was
+                # MEASURED SLOWER inside the scan (197.8 -> 244.0 ms on
+                # the standalone trajectory: 15 per-block pad copies +
+                # custom-call boundaries outweigh the W-major-carry conv
+                # penalty), as were input/output layout-pin barriers
+                # (no effect / 659 ms) -- docs/PERF.md round 5.
+                # VMG_TRAJCONV_KERNEL=pallas|barrier re-enables for A/B.
+                conv_impl=(os.environ.get("VMG_TRAJCONV_KERNEL", "xla")
+                           if deterministic else "xla"),
                 name="traj_mixing",
             )(x, flow_forward, flow_backward)
         return x

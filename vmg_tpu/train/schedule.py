@@ -52,7 +52,16 @@ def cosine_annealing_restart(
 
 
 def main_lr_schedule(train_cfg):
-    """Main param-group LR from a TrainConfig."""
+    """Main param-group LR from a TrainConfig.
+
+    Warmup note (deliberate divergence): the reference applies warmup in
+    ``update_learning_rate`` AFTER the optimizer step, so its update 0
+    runs at the FULL base LR and update ``k`` (k >= 1) at
+    ``base * (k-1) / warmup`` -- the first update skips warmup entirely
+    (``Trainer.py:265-272`` + the post-step call order).  Here warmup is
+    the clean form ``base * k / warmup``: update 0 is the smallest, not
+    the largest.  One-step shift elsewhere, strictly safer at step 0.
+    """
     base = cosine_annealing_restart(
         train_cfg.lr,
         train_cfg.T_period,
@@ -75,13 +84,22 @@ def main_lr_schedule(train_cfg):
 
 
 def spynet_lr_schedule(train_cfg, flow_fix: Optional[int]):
-    """SPyNet group: frozen (0) through flow_fix, then pre_lr_ratio x main."""
+    """SPyNet group: frozen (0), then pre_lr_ratio x main.
+
+    Boundary matches the reference update-for-update: the reference sets
+    group LRs AFTER each optimizer step (``Trainer.update_learning_rate``
+    called with ``cur_iter = k`` after update ``k``, frozen while
+    ``cur_iter <= flow_fix``), so update ``k`` runs with the LR computed
+    at ``k - 1`` -- the group is frozen for updates ``0 .. flow_fix + 1``
+    and first moves at update ``flow_fix + 2`` (verified step-for-step by
+    tests/test_train_dynamics_golden.py).
+    """
     main = main_lr_schedule(train_cfg)
     fix = flow_fix if flow_fix is not None else 0
 
     def schedule(step):
         lr = main(step) * train_cfg.pre_lr_ratio
-        return jnp.where(step <= fix, 0.0, lr)
+        return jnp.where(step <= fix + 1, 0.0, lr)
 
     return schedule
 
