@@ -37,6 +37,17 @@ def main():
                     help="disable TAB/trajectory rematerialization (fits "
                          "at crop-training sizes; trades memory for the "
                          "recompute FLOPs)")
+    ap.add_argument("--remat-policy", default=None,
+                    help="jax.checkpoint_policies name for the remat'ed "
+                         "blocks (e.g. dots_saveable); default saves "
+                         "nothing inside them")
+    ap.add_argument("--stage-barrier", action="store_true",
+                    help="optimization_barrier between TABs (see "
+                         "VMGNetworkConfig.stage_barrier)")
+    ap.add_argument("--mem-only", action="store_true",
+                    help="compile only and print the XLA memory analysis "
+                         "(temp/argument/output bytes) -- the 11.9 GB "
+                         "temp cliff forensics, no device execution")
     args = ap.parse_args()
 
     from vmg_tpu.utils.jax_setup import enable_compilation_cache
@@ -51,9 +62,13 @@ def main():
 
     cfg = {"full": FULL_PRESET, "few": FEW_LEVELS_PRESET,
            "tiny": TINY_TEST_PRESET}[args.preset]
+    import dataclasses
     if args.no_remat:
-        import dataclasses
         cfg = dataclasses.replace(cfg, remat=False)
+    if args.remat_policy:
+        cfg = dataclasses.replace(cfg, remat_policy=args.remat_policy)
+    if args.stage_barrier:
+        cfg = dataclasses.replace(cfg, stage_barrier=True)
     B, T, S = args.batch, args.frames, args.crop
     # amp=True matches the shipped training recipe
     # (configs/presets/vmg_reds_full.yml: bf16 compute on TPU)
@@ -74,6 +89,25 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), batch["LRs"][:1])
     state = init_train_state(model, params, tcfg, flow_fix=0)
     step = make_train_step(model, tcfg, grad_acc=args.grad_acc)
+
+    if args.mem_only:
+        key = jax.random.key(1)
+        compiled = (jax.jit(make_train_step(model, tcfg,
+                                            grad_acc=args.grad_acc,
+                                            jit=False), donate_argnums=(0,))
+                    .lower(state, batch, key).compile())
+        ma = compiled.memory_analysis()
+        rec = {"preset": args.preset, "batch": B,
+               "remat": not args.no_remat,
+               "remat_policy": args.remat_policy,
+               "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+               "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+               "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
+               "alias_gb": round(ma.alias_size_in_bytes / 2**30, 3),
+               "generated_code_mb": round(
+                   ma.generated_code_size_in_bytes / 2**20, 1)}
+        print(json.dumps(rec))
+        return
 
     key = jax.random.key(1)
     state, metrics = step(state, batch, key)  # compile + first step

@@ -85,6 +85,20 @@ class VMGNetworkConfig:
     # in the backward pass (jax.checkpoint) -- trades FLOPs for the
     # activation memory the training recipe needs (crop 256, T=16)
     remat: bool = True
+    # optional jax.checkpoint_policies name for the remat calls (e.g.
+    # 'dots_saveable' saves MXU outputs: less recompute, more memory);
+    # None = save nothing (full recompute inside remat'ed blocks)
+    remat_policy: Optional[str] = None
+    # MorphFC axis-FC form: True = block-diagonal big-matrix (serving
+    # fast path; materializes (chunk*C)^2 weights), False = transpose
+    # form with true (C, C) weights (training memory probe)
+    morph_fused: bool = True
+    # training-only: optimization_barrier between TAB blocks.  The train
+    # step's 11.9 GB temp cliff is the scheduler interleaving many TAB
+    # backwards' FFN-hidden working sets (round-5 buffer forensics); the
+    # barrier's backward is also a barrier, forcing block-sequential
+    # scheduling at the cost of cross-block overlap
+    stage_barrier: bool = False
     # 'per_level' reruns SPyNet on every pyramid level (reference
     # vmg.py:435-453 semantics); 'shared' computes level-0 flow once and
     # average-pools it down (faster, near-identical fields) -- opt-in

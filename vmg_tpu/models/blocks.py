@@ -1022,6 +1022,7 @@ class TAB(nn.Module):
     mixer_n: Optional[int] = None
     mixer_scaling: float = 1.0
     channel_mixer: str = "vanilla"
+    morph_fused: bool = True  # axis-FC form (see MorphFCDecay.fused)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -1033,6 +1034,7 @@ class TAB(nn.Module):
                     self.dim, self.chunk_h, self.chunk_w, self.qkv_bias,
                     self.non_linear, self.gating, self.symm, self.symm_act,
                     self.relu_scale, self.relu_scale_norm, self.channel_mixer,
+                    fused=self.morph_fused,
                     impl="auto" if deterministic else "xla",
                     name="spatial_mixing",
                 )

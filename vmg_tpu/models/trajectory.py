@@ -34,6 +34,8 @@ on border padding (``trajectory.py:332-333``).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -579,6 +581,9 @@ class TrajectoryMultiHead(nn.Module):
     field_stride: int = 4
     # checkpoint the scan step in the backward pass (training memory)
     remat: bool = False
+    # jax.checkpoint_policies name for the scan-step remat (None = save
+    # nothing inside the step)
+    remat_policy: Optional[str] = None
     # LTAM wins-attention implementation (see LTAM.win_impl).  'auto'
     # resolves to the fused Pallas kernel (ops/ltam_attention) when the
     # shape family supports it AND the runtime backend is TPU; 'pallas'
@@ -641,8 +646,12 @@ class TrajectoryMultiHead(nn.Module):
         win_impl = self.win_impl if self.win_impl in ("windows", "strided") \
             else "windows"
 
-        step_cls = nn.remat(_TrajStep, prevent_cse=False) if self.remat \
-            else _TrajStep
+        pol = (getattr(jax.checkpoint_policies, self.remat_policy)
+               if self.remat_policy else None)
+        # prevent_cse=True keeps jax.checkpoint's recompute barriers --
+        # see the memory note at the TAB remat site (models/vmg.py)
+        step_cls = (nn.remat(_TrajStep, prevent_cse=True, policy=pol)
+                    if self.remat else _TrajStep)
         step = nn.scan(
             step_cls,
             variable_broadcast="params",

@@ -166,7 +166,17 @@ class MlpEncoderStage(nn.Module):
             flow_backward = _flow_smoothing(flow_backward, cfg.smooth_region_range)
 
         shortcut = x
-        tab_cls = (nn.remat(TAB, prevent_cse=False, static_argnums=(2,))
+        pol = (getattr(jax.checkpoint_policies, cfg.remat_policy)
+               if cfg.remat_policy else None)
+        # prevent_cse=True (the jax default) is LOAD-BEARING for memory:
+        # with False, jax.checkpoint's internal optimization_barriers are
+        # dropped and XLA hoists every TAB's backward recompute together
+        # -- ~50 coexisting (..., 672) GELU-chain buffers, the 11.9 GB
+        # temp cliff of rounds 3-4.  True ties each recompute to its
+        # backward position: temp 11.57 -> 6.12 GB measured (round-5
+        # buffer forensics, docs/PERF.md).
+        tab_cls = (nn.remat(TAB, prevent_cse=True, static_argnums=(2,),
+                            policy=pol)
                    if (cfg.remat and not deterministic) else TAB)
         for b in range(cfg.depths[li]):
             x = tab_cls(
@@ -189,8 +199,11 @@ class MlpEncoderStage(nn.Module):
                 mixer_n=sp(cfg.mixer_n),
                 mixer_scaling=cfg.m_scaling,
                 channel_mixer=cfg.channel_mixer,
+                morph_fused=cfg.morph_fused,
                 name=f"mlp_blocks{b}",
             )(x, deterministic)
+            if cfg.stage_barrier and not deterministic:
+                x = jax.lax.optimization_barrier(x)
 
         if cfg.if_local_fuse:
             y = x.reshape(B * T, H, W, C)
@@ -226,6 +239,7 @@ class MlpEncoderStage(nn.Module):
                 ltam=cfg.ltam,
                 traj_win=sp(cfg.traj_win),
                 remat=cfg.remat and not deterministic,
+                remat_policy=cfg.remat_policy,
                 # 'auto' resolves to the fused Pallas LTAM attention on
                 # TPU (forward AND backward -- the kernel carries a
                 # custom VJP, ops/ltam_attention) and to the XLA windows
